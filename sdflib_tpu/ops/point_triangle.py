@@ -1,0 +1,313 @@
+"""Batched point-triangle distance kernels (the #1 hot loop).
+
+TPU-native re-design of the reference scalar kernels
+(reference: include/SdfLib/utils/TriangleUtils.h:76-401). The branchy
+Voronoi-region classification becomes a branchless ``where``-ladder over a
+region code so it vectorizes on the VPU; tie-breaking (``>=`` vs ``<=``)
+matches the reference exactly since sign flips at region boundaries would
+break allclose parity (SURVEY.md "hard parts").
+
+Region codes: 0=v1, 1=v2, 2=v3, 3=edge1(v1v2), 4=edge2(v2v3),
+5=edge3(v3v1), 6=face.
+
+All functions operate on a single (point, triangle) pair with scalar math
+and are lifted with ``jax.vmap``; the chunked brute-force reductions at the
+bottom are the RealSdf oracle (reference src/sdf/RealSdf.cpp:10-25 and
+OctreeSdfUtils.h:13-36 semantics: argmin over *squared* unsigned distance
+with first-triangle-wins ties, then one signed evaluation of the winner).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..triangle import TriangleDataSoA
+
+__all__ = [
+    "project_point",
+    "region_code",
+    "sq_dist_pair",
+    "signed_dist_pair",
+    "signed_dist_grad_pair",
+    "sq_dist_naive",
+    "nearest_triangle",
+    "signed_distance_batch",
+    "signed_distance_grad_batch",
+]
+
+# Region codes
+V1, V2, V3, E1, E2, E3, FACE = 0, 1, 2, 3, 4, 5, 6
+
+
+def _dot(a, b):
+    """Elementwise dot. Deliberately NOT ``a @ b``: on TPU the MXU would be
+    engaged with default (bf16) precision, destroying distance parity
+    (SURVEY.md "Numerics"). sum(a*b) stays on the VPU in fp32."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def _matvec(m, v):
+    """(3,3) @ (3,) on the VPU in fp32 (see _dot)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
+
+
+def project_point(point, tri: TriangleDataSoA):
+    """World point -> triangle-space (TriangleUtils.h:78)."""
+    return _matvec(tri.transform, point - tri.origin)
+
+
+def region_code(pp, tri: TriangleDataSoA):
+    """Classify the projected point into one of 7 Voronoi features.
+
+    Exactly mirrors the nested branch structure and tie-breaking of
+    TriangleUtils.h:84-134.
+    """
+    x, y = pp[0], pp[1]
+    de1 = -y
+    de2 = (x - tri.v2x) * tri.b[1] - y * tri.b[0]
+    de3 = x * tri.c[1] - y * tri.c[0]
+
+    # Region 1 (edge v1-v2 outside): vertex/edge selection
+    r1 = jnp.where(x <= 0.0, V1, jnp.where(x >= tri.v2x, V2, E1))
+    # Region 2 (edge v2-v3 outside)
+    dot_b_v2 = (x - tri.v2x) * tri.b[0] + y * tri.b[1]
+    dot_b_v3 = (x - tri.v3xy[0]) * tri.b[0] + (y - tri.v3xy[1]) * tri.b[1]
+    r2 = jnp.where(dot_b_v2 <= 0.0, V2, jnp.where(dot_b_v3 >= 0.0, V3, E2))
+    # Region 3 (edge v3-v1 outside)
+    dot_c_v1 = x * tri.c[0] + y * tri.c[1]
+    dot_c_v3 = (x - tri.v3xy[0]) * tri.c[0] + (y - tri.v3xy[1]) * tri.c[1]
+    r3 = jnp.where(dot_c_v1 >= 0.0, V1, jnp.where(dot_c_v3 <= 0.0, V3, E3))
+
+    code = jnp.where(
+        de1 >= 0.0,
+        r1,
+        jnp.where(de2 >= 0.0, r2, jnp.where(de3 >= 0.0, r3, FACE)),
+    )
+    return code, (de1, de2, de3)
+
+
+def _feature_offsets(pp, tri: TriangleDataSoA):
+    """Relative vectors from the three vertices in triangle space."""
+    p_v1 = pp
+    p_v2 = pp - jnp.array([1.0, 0.0, 0.0], pp.dtype) * tri.v2x
+    p_v3 = pp - jnp.stack([tri.v3xy[0], tri.v3xy[1], jnp.zeros((), pp.dtype)])
+    return p_v1, p_v2, p_v3
+
+
+def sq_dist_pair(point, tri: TriangleDataSoA):
+    """Unsigned squared distance, one (point, triangle) pair.
+
+    Parity target: TriangleUtils.h:76-135 (getSqDistPointAndTriangle).
+    """
+    pp = project_point(point, tri)
+    code, (de1, de2, de3) = region_code(pp, tri)
+    p_v1, p_v2, p_v3 = _feature_offsets(pp, tri)
+    z2 = pp[2] * pp[2]
+    cands = jnp.stack(
+        [
+            _dot(p_v1, p_v1),
+            _dot(p_v2, p_v2),
+            _dot(p_v3, p_v3),
+            de1 * de1 + z2,
+            de2 * de2 + z2,
+            de3 * de3 + z2,
+            z2,
+        ]
+    )
+    return cands[code]
+
+
+def _region_sign(code, pp, tri: TriangleDataSoA):
+    """Pseudonormal sign test per region (TriangleUtils.h:137-196)."""
+    p_v1, p_v2, p_v3 = _feature_offsets(pp, tri)
+    vn = tri.vertices_normal
+    en = tri.edges_normal
+    dots = jnp.stack(
+        [
+            _dot(vn[0], p_v1),
+            _dot(vn[1], p_v2),
+            _dot(vn[2], p_v3),
+            _dot(en[0], pp),
+            _dot(en[1], p_v2),
+            _dot(en[2], pp),
+            pp[2],
+        ]
+    )
+    return jnp.sign(dots[code])
+
+
+def signed_dist_pair(point, tri: TriangleDataSoA):
+    """Signed distance, one pair (TriangleUtils.h:137-196).
+
+    The face region returns ``pp.z`` directly; other regions return
+    sign(pseudonormal . rel) * sqrt(sq_dist).
+    """
+    pp = project_point(point, tri)
+    code, _ = region_code(pp, tri)
+    sq = sq_dist_pair(point, tri)
+    sign = _region_sign(code, pp, tri)
+    return jnp.where(code == FACE, pp[2], sign * jnp.sqrt(sq))
+
+
+def _safe_normalize(vec, fallback):
+    """normalize with NaN fallback (TriangleUtils.h:208-212)."""
+    n2 = _dot(vec, vec)
+    inv = jnp.where(n2 > 0.0, jax.lax.rsqrt(jnp.maximum(n2, 1e-38)), 0.0)
+    return jnp.where(n2 > 0.0, vec * inv, fallback)
+
+
+def signed_dist_grad_pair(point, tri: TriangleDataSoA):
+    """Signed distance + world-space gradient, one pair.
+
+    Parity target: TriangleUtils.h:198-290 (the v1/v2/v3 variant used by
+    TriCubicInterpolation::calculatePointValues, InterpolationMethods.h:282).
+    Returns (dist, grad).
+    """
+    pp = project_point(point, tri)
+    code, (de1, de2, de3) = region_code(pp, tri)
+    sq = sq_dist_pair(point, tri)
+    sign = _region_sign(code, pp, tri)
+    dist = jnp.where(code == FACE, pp[2], sign * jnp.sqrt(sq))
+
+    tn = tri.transform[2, :]  # world-space unit normal (row 2)
+    tt = tri.transform.T
+
+    # Vertex-region normals: normalize(point - vertex_world)
+    n_v1 = _safe_normalize(point - tri.v_world[0], tn)
+    n_v2 = _safe_normalize(point - tri.v_world[1], tn)
+    n_v3 = _safe_normalize(point - tri.v_world[2], tn)
+
+    # Edge-region normals: perpendicular component, back to world space
+    n_e1 = _safe_normalize(
+        _matvec(tt, jnp.stack([jnp.zeros((), pp.dtype), pp[1], pp[2]])), tn
+    )
+    dot_b = (pp[0] - tri.v2x) * tri.b[0] + pp[1] * tri.b[1]
+    n_e2 = _safe_normalize(
+        _matvec(
+            tt,
+            jnp.stack(
+                [(pp[0] - tri.v2x) - dot_b * tri.b[0], pp[1] - dot_b * tri.b[1], pp[2]]
+            ),
+        ),
+        tn,
+    )
+    dot_c = pp[0] * tri.c[0] + pp[1] * tri.c[1]
+    n_e3 = _safe_normalize(
+        _matvec(
+            tt,
+            jnp.stack([pp[0] - dot_c * tri.c[0], pp[1] - dot_c * tri.c[1], pp[2]]),
+        ),
+        tn,
+    )
+
+    normals = jnp.stack([n_v1, n_v2, n_v3, n_e1, n_e2, n_e3, tn])
+    grad = jnp.where(code == FACE, tn, sign * normals[code])
+    return dist, grad
+
+
+def sq_dist_naive(p, a, b, c):
+    """Naive 3-vertex formula (TriangleUtils.h:383-401) — the property-test
+    oracle used by the reference's TriangleDistanceTest."""
+    ba, pa = b - a, p - a
+    cb, pb = c - b, p - b
+    ac, pc = a - c, p - c
+    normal = jnp.cross(ba, ac)
+
+    def d2(v):
+        return _dot(v, v)
+
+    outside = (
+        jnp.sign(_dot(jnp.cross(ba, normal), pa))
+        + jnp.sign(_dot(jnp.cross(cb, normal), pb))
+        + jnp.sign(_dot(jnp.cross(ac, normal), pc))
+    ) < 2.0
+    edge_d = jnp.minimum(
+        jnp.minimum(
+            d2(ba * jnp.clip(_dot(ba, pa) / d2(ba), 0.0, 1.0) - pa),
+            d2(cb * jnp.clip(_dot(cb, pb) / d2(cb), 0.0, 1.0) - pb),
+        ),
+        d2(ac * jnp.clip(_dot(ac, pc) / d2(ac), 0.0, 1.0) - pc),
+    )
+    face_d = _dot(normal, pa) * _dot(normal, pa) / d2(normal)
+    return jnp.where(outside, edge_d, face_d)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force reductions (RealSdf oracle)
+# ---------------------------------------------------------------------------
+
+_sq_dist_pt = jax.vmap(sq_dist_pair, in_axes=(None, 0))           # point vs T tris
+_sq_dist_grid = jax.vmap(_sq_dist_pt, in_axes=(0, None))          # P points vs T
+
+
+def _pad_tris(tris: TriangleDataSoA, chunk: int):
+    T = tris.num_triangles
+    n_chunks = max(1, -(-T // chunk))
+    pad = n_chunks * chunk - T
+
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(jnp.asarray(x), widths)
+
+    padded = TriangleDataSoA(*(_pad(f) for f in tris))
+    reshaped = TriangleDataSoA(
+        *(f.reshape((n_chunks, chunk) + f.shape[1:]) for f in padded)
+    )
+    return reshaped, T, pad
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def nearest_triangle(points, tris: TriangleDataSoA, chunk: int = 512):
+    """For each point, the (squared distance, index) of the nearest triangle.
+
+    Scans triangle chunks with a running min to bound memory at
+    P*chunk floats. Ties: lowest triangle index wins, matching the strict
+    ``<`` update in the reference (OctreeSdfUtils.h:24).
+    """
+    points = jnp.asarray(points)
+    P = points.shape[0]
+    chunked, T, pad = _pad_tris(tris, chunk)
+    n_chunks = chunked.origin.shape[0]
+
+    def body(carry, args):
+        best, bidx = carry
+        tri_chunk, chunk_i = args
+        d = _sq_dist_grid(points, tri_chunk)  # (P, chunk)
+        # Mask padded triangles
+        tri_ids = chunk_i * chunk + jnp.arange(chunk)
+        d = jnp.where(tri_ids[None, :] < T, d, jnp.inf)
+        local_best = jnp.min(d, axis=1)
+        local_idx = jnp.argmin(d, axis=1) + chunk_i * chunk
+        take = local_best < best
+        return (
+            jnp.where(take, local_best, best),
+            jnp.where(take, local_idx, bidx),
+        ), None
+
+    init = (jnp.full((P,), jnp.inf, points.dtype), jnp.zeros((P,), jnp.int32))
+    (best, bidx), _ = jax.lax.scan(
+        body, init, (chunked, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return best, bidx
+
+
+def _gather_tris(tris: TriangleDataSoA, idx):
+    return TriangleDataSoA(*(jnp.asarray(f)[idx] for f in tris))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def signed_distance_batch(points, tris: TriangleDataSoA, chunk: int = 512):
+    """Exact signed distance for a batch of points (RealSdf.cpp:10-25)."""
+    _, idx = nearest_triangle(points, tris, chunk=chunk)
+    winners = _gather_tris(tris, idx)
+    return jax.vmap(signed_dist_pair)(jnp.asarray(points), winners)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def signed_distance_grad_batch(points, tris: TriangleDataSoA, chunk: int = 512):
+    """Exact signed distance + analytic gradient for a batch of points."""
+    _, idx = nearest_triangle(points, tris, chunk=chunk)
+    winners = _gather_tris(tris, idx)
+    return jax.vmap(signed_dist_grad_pair)(jnp.asarray(points), winners)
