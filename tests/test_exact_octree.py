@@ -1,0 +1,111 @@
+"""ExactOctreeSdf: queries must be EXACTLY the brute-force oracle.
+
+This is the core exactness guarantee of the influence-superset method: the
+leaf triangle lists must contain the nearest triangle for every point in
+the leaf, so octree queries equal RealSdf everywhere in the domain.
+"""
+import numpy as np
+import pytest
+
+from sdflib_tpu.sdf import RealSdf, SdfFunction
+from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+from sdflib_tpu.utils.primitives import make_icosphere, make_torus
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_icosphere(subdivisions=3, radius=0.35)
+
+
+@pytest.fixture(scope="module")
+def exact(mesh):
+    box = mesh.bounding_box.add_margin(0.14)
+    return ExactOctreeSdf(
+        mesh, box, max_depth=5, start_depth=2, min_triangles_per_node=32
+    )
+
+
+@pytest.fixture(scope="module")
+def real(mesh):
+    return RealSdf(mesh)
+
+
+def test_exact_matches_oracle_everywhere(exact, real):
+    rng = np.random.default_rng(0)
+    lo = exact.box.min + 1e-4
+    hi = exact.box.max - 1e-4
+    pts = rng.uniform(lo, hi, (4096, 3)).astype(np.float32)
+    d_e = np.asarray(exact.get_distance(pts))
+    d_r = np.asarray(real.get_distance(pts))
+    np.testing.assert_allclose(d_e, d_r, rtol=1e-5, atol=1e-6)
+
+
+def test_exact_near_surface(exact, real, mesh):
+    """Points right at the surface — the regime where wrong culling or sign
+    flips would show."""
+    rng = np.random.default_rng(1)
+    v = mesh.vertices[rng.integers(0, mesh.num_vertices, 512)]
+    noise = rng.normal(0, 0.01, v.shape).astype(np.float32)
+    pts = (v + noise).astype(np.float32)
+    d_e = np.asarray(exact.get_distance(pts))
+    d_r = np.asarray(real.get_distance(pts))
+    np.testing.assert_allclose(d_e, d_r, rtol=1e-5, atol=1e-6)
+
+
+def test_exact_gradients_match_oracle(exact, real):
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-0.4, 0.4, (512, 3)).astype(np.float32)
+    d_e, g_e = exact.get_distance_and_gradient(pts)
+    d_r, g_r = real.get_distance_and_gradient(pts)
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_r), rtol=1e-5, atol=1e-6)
+    # Gradients can differ only on argmin ties between adjacent triangles
+    same = np.isclose(np.asarray(g_e), np.asarray(g_r), atol=1e-5).all(axis=-1)
+    assert same.mean() > 0.97
+
+
+def test_exact_out_of_box_fallback(exact):
+    """Outside: box distance + sqrt(3)*box_size (ExactOctreeSdf.cpp:44-49)."""
+    pts = np.array([[5.0, 0.0, 0.0], [-2.0, 3.0, 1.0]], np.float32)
+    d = np.asarray(exact.get_distance(pts))
+    center = exact.box.center
+    halfs = 0.5 * exact.box.size
+    q = np.abs(pts - center) - halfs
+    box_d = np.linalg.norm(np.maximum(q, 0), axis=-1) + np.minimum(q.max(axis=-1), 0)
+    expected = box_d + np.sqrt(3.0) * exact.box.size[0]
+    np.testing.assert_allclose(d, expected, rtol=1e-5)
+
+
+def test_exact_leaf_stats(exact):
+    tpl = exact.build_stats["tris_per_leaf"]
+    assert len(tpl) > 0
+    counts = np.asarray(exact.leaf_count)
+    assert max(tpl) == counts.max()
+    # CSR memory is O(total kept triangles), not O(leaves * max_count)
+    assert exact.tri_flat.size <= 2 * sum(tpl) + 64 * len(tpl)
+
+
+def test_exact_save_load_roundtrip(tmp_path, exact):
+    path = str(tmp_path / "exact.npz")
+    exact.save(path)
+    loaded = SdfFunction.load(path)
+    assert isinstance(loaded, ExactOctreeSdf)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-0.4, 0.4, (256, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.get_distance(pts)), np.asarray(exact.get_distance(pts))
+    )
+
+
+def test_exact_torus():
+    mesh = make_torus(R=0.3, r=0.12, nu=32, nv=16)
+    box = mesh.bounding_box.add_margin(0.1)
+    exact = ExactOctreeSdf(mesh, box, max_depth=4, start_depth=1,
+                           min_triangles_per_node=16)
+    real = RealSdf(mesh)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-0.4, 0.4, (1024, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(exact.get_distance(pts)),
+        np.asarray(real.get_distance(pts)),
+        rtol=1e-5, atol=1e-6,
+    )
