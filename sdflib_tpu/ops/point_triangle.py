@@ -96,6 +96,17 @@ def _feature_offsets(pp, tri: TriangleDataSoA):
     return p_v1, p_v2, p_v3
 
 
+def _select_by_code(code, cands):
+    """7-way select as a where-ladder. A ``stack(...)[code]`` gather would
+    materialize a (..., 7) array whose last dim XLA pads to 128 lanes on
+    TPU (an 18x memory blowup inside the brute-force sweeps); the ladder
+    stays fully elementwise."""
+    out = cands[6]
+    for k in range(5, -1, -1):
+        out = jnp.where(code == k, cands[k], out)
+    return out
+
+
 def sq_dist_pair(point, tri: TriangleDataSoA):
     """Unsigned squared distance, one (point, triangle) pair.
 
@@ -105,18 +116,16 @@ def sq_dist_pair(point, tri: TriangleDataSoA):
     code, (de1, de2, de3) = region_code(pp, tri)
     p_v1, p_v2, p_v3 = _feature_offsets(pp, tri)
     z2 = pp[2] * pp[2]
-    cands = jnp.stack(
-        [
-            _dot(p_v1, p_v1),
-            _dot(p_v2, p_v2),
-            _dot(p_v3, p_v3),
-            de1 * de1 + z2,
-            de2 * de2 + z2,
-            de3 * de3 + z2,
-            z2,
-        ]
+    cands = (
+        _dot(p_v1, p_v1),
+        _dot(p_v2, p_v2),
+        _dot(p_v3, p_v3),
+        de1 * de1 + z2,
+        de2 * de2 + z2,
+        de3 * de3 + z2,
+        z2,
     )
-    return cands[code]
+    return _select_by_code(code, cands)
 
 
 def _region_sign(code, pp, tri: TriangleDataSoA):
@@ -124,18 +133,16 @@ def _region_sign(code, pp, tri: TriangleDataSoA):
     p_v1, p_v2, p_v3 = _feature_offsets(pp, tri)
     vn = tri.vertices_normal
     en = tri.edges_normal
-    dots = jnp.stack(
-        [
-            _dot(vn[0], p_v1),
-            _dot(vn[1], p_v2),
-            _dot(vn[2], p_v3),
-            _dot(en[0], pp),
-            _dot(en[1], p_v2),
-            _dot(en[2], pp),
-            pp[2],
-        ]
+    dots = (
+        _dot(vn[0], p_v1),
+        _dot(vn[1], p_v2),
+        _dot(vn[2], p_v3),
+        _dot(en[0], pp),
+        _dot(en[1], p_v2),
+        _dot(en[2], pp),
+        pp[2],
     )
-    return jnp.sign(dots[code])
+    return jnp.sign(_select_by_code(code, dots))
 
 
 def signed_dist_pair(point, tri: TriangleDataSoA):
@@ -202,8 +209,8 @@ def signed_dist_grad_pair(point, tri: TriangleDataSoA):
         tn,
     )
 
-    normals = jnp.stack([n_v1, n_v2, n_v3, n_e1, n_e2, n_e3, tn])
-    grad = jnp.where(code == FACE, tn, sign * normals[code])
+    normals = (n_v1, n_v2, n_v3, n_e1, n_e2, n_e3, tn)
+    grad = jnp.where(code == FACE, tn, sign * _select_by_code(code, normals))
     return dist, grad
 
 
@@ -297,17 +304,42 @@ def _gather_tris(tris: TriangleDataSoA, idx):
     return TriangleDataSoA(*(jnp.asarray(f)[idx] for f in tris))
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def signed_distance_batch(points, tris: TriangleDataSoA, chunk: int = 512):
+def _nearest_dispatch(points, tris: TriangleDataSoA, chunk: int, impl: str):
+    """impl: "auto" (Pallas on TPU, XLA scan elsewhere), "pallas", "xla"."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from .pallas_kernels import nearest_triangle_pallas
+
+        return nearest_triangle_pallas(points, tris)
+    return nearest_triangle(points, tris, chunk=chunk)
+
+
+@jax.jit
+def _eval_winner_signed(points, tris: TriangleDataSoA, idx):
+    return jax.vmap(signed_dist_pair)(
+        jnp.asarray(points), _gather_tris(tris, idx)
+    )
+
+
+@jax.jit
+def _eval_winner_signed_grad(points, tris: TriangleDataSoA, idx):
+    return jax.vmap(signed_dist_grad_pair)(
+        jnp.asarray(points), _gather_tris(tris, idx)
+    )
+
+
+def signed_distance_batch(
+    points, tris: TriangleDataSoA, chunk: int = 512, impl: str = "auto"
+):
     """Exact signed distance for a batch of points (RealSdf.cpp:10-25)."""
-    _, idx = nearest_triangle(points, tris, chunk=chunk)
-    winners = _gather_tris(tris, idx)
-    return jax.vmap(signed_dist_pair)(jnp.asarray(points), winners)
+    _, idx = _nearest_dispatch(points, tris, chunk, impl)
+    return _eval_winner_signed(points, tris, idx)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def signed_distance_grad_batch(points, tris: TriangleDataSoA, chunk: int = 512):
+def signed_distance_grad_batch(
+    points, tris: TriangleDataSoA, chunk: int = 512, impl: str = "auto"
+):
     """Exact signed distance + analytic gradient for a batch of points."""
-    _, idx = nearest_triangle(points, tris, chunk=chunk)
-    winners = _gather_tris(tris, idx)
-    return jax.vmap(signed_dist_grad_pair)(jnp.asarray(points), winners)
+    _, idx = _nearest_dispatch(points, tris, chunk, impl)
+    return _eval_winner_signed_grad(points, tris, idx)
