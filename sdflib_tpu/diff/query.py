@@ -33,9 +33,17 @@ def octree_coefficients(octree_u32) -> jax.Array:
     return jax.lax.bitcast_convert_type(jnp.asarray(octree_u32), jnp.float32)
 
 
+def _select8_u32(rows, lane):
+    """In-row 8-way select on the VPU (see sdf.octree._select8)."""
+    oh = lane[..., None] == jnp.arange(8, dtype=lane.dtype)
+    return jnp.sum(jnp.where(oh, rows, jnp.zeros_like(rows)), axis=-1)
+
+
 @partial(
     jax.jit,
-    static_argnames=("levels", "num_coeff", "interpolation", "with_gradient"),
+    static_argnames=(
+        "levels", "num_coeff", "interpolation", "with_gradient", "fast"
+    ),
 )
 def octree_query_diff(
     octree_u32,
@@ -50,9 +58,14 @@ def octree_query_diff(
     num_coeff: int = 64,
     interpolation: str = "tricubic",
     with_gradient: bool = False,
+    fast: bool = True,
 ):
     """Like OctreeSdf queries but differentiable w.r.t. ``coeffs_f32``
-    (and w.r.t. ``points`` through the polynomial evaluation)."""
+    (and w.r.t. ``points`` through the polynomial evaluation).
+
+    fast=True assumes the aligned layout our builders emit (row-gather
+    fetches; the coefficient row gather's VJP is a row scatter-add, which
+    is equally fast)."""
     pts = points
     s = start_grid_size
     cell = box_size / s
@@ -63,10 +76,17 @@ def octree_query_diff(
     in_box = jnp.all((ipos >= 0) & (ipos < s), axis=-1)
     ic = jnp.clip(ipos, 0, s - 1)
     node_idx = ic[..., 2] * (s * s) + ic[..., 1] * s + ic[..., 0]
-    word = octree_u32[node_idx]
 
     leaf_mask = jnp.uint32(IS_LEAF_MASK)
     cidx_mask = jnp.uint32(CHILDREN_INDEX_MASK)
+
+    if fast:
+        view8 = octree_u32.reshape(-1, 8)
+        word = _select8_u32(
+            view8[node_idx >> 3], (node_idx & 7).astype(jnp.uint32)
+        )
+    else:
+        word = octree_u32[node_idx]
 
     depth_steps = jnp.zeros(pts.shape[:-1], jnp.int32)
     for _ in range(levels):
@@ -77,15 +97,23 @@ def octree_query_diff(
             + ((fs[..., 1] >= 0.5).astype(jnp.uint32) << 1)
             + (fs[..., 0] >= 0.5).astype(jnp.uint32)
         )
-        nxt = octree_u32[(word & cidx_mask) + child]
+        base = word & cidx_mask
+        if fast:
+            nxt = _select8_u32(view8[(base >> 3).astype(jnp.int32)], child)
+        else:
+            nxt = octree_u32[base + child]
         nfrac = 2.0 * frac - jax.lax.stop_gradient(jnp.floor(2.0 * frac))
         word = jnp.where(is_leaf, word, nxt)
         frac = jnp.where(is_leaf[..., None], frac, nfrac)
         depth_steps = depth_steps + (~is_leaf).astype(jnp.int32)
 
     base = (word & cidx_mask).astype(jnp.int32)
-    gather_idx = base[..., None] + jnp.arange(num_coeff, dtype=jnp.int32)
-    coeffs = coeffs_f32[gather_idx]
+    if fast:
+        shift = 6 if num_coeff == 64 else 3
+        coeffs = coeffs_f32.reshape(-1, num_coeff)[base >> shift]
+    else:
+        gather_idx = base[..., None] + jnp.arange(num_coeff, dtype=jnp.int32)
+        coeffs = coeffs_f32[gather_idx]
 
     interp = tricubic_interpolate if interpolation == "tricubic" else trilinear_interpolate
     d_in = interp(coeffs, frac)

@@ -39,9 +39,19 @@ __all__ = ["OctreeSdf"]
 _RULES = {"trapezoid", "simpson", "by_distance", "none"}
 
 
+def _select8(rows, lane):
+    """rows (..., 8), lane (...,) in [0,8) -> (...,). One-hot sum select:
+    an in-row 8-way pick stays on the VPU (a take_along_axis would lower to
+    a scalar-core gather on TPU)."""
+    oh = lane[..., None] == jnp.arange(8, dtype=lane.dtype)
+    return jnp.sum(jnp.where(oh, rows, jnp.zeros_like(rows)), axis=-1)
+
+
 @partial(
     jax.jit,
-    static_argnames=("levels", "num_coeff", "interpolation", "with_gradient"),
+    static_argnames=(
+        "levels", "num_coeff", "interpolation", "with_gradient", "fast"
+    ),
 )
 def _octree_query(
     octree_u32,
@@ -55,8 +65,16 @@ def _octree_query(
     num_coeff: int,
     interpolation: str,
     with_gradient: bool,
+    fast: bool = True,
 ):
-    """Batched descent + polynomial evaluation (OctreeSdf.cpp:93-152)."""
+    """Batched descent + polynomial evaluation (OctreeSdf.cpp:93-152).
+
+    fast=True requires the aligned layout our builders emit (children
+    blocks 8-aligned, coefficient blocks num_coeff-aligned, length a
+    multiple of 64): every fetch is then a contiguous ROW gather, which
+    XLA lowers ~100x faster on TPU than per-element gathers. fast=False
+    is the layout-agnostic fallback for foreign (reference .bin) arrays.
+    """
     pts = points
     s = start_grid_size
     cell = box_size / s
@@ -67,10 +85,16 @@ def _octree_query(
     in_box = jnp.all((ipos >= 0) & (ipos < s), axis=-1)
     ic = jnp.clip(ipos, 0, s - 1)
     node_idx = ic[..., 2] * (s * s) + ic[..., 1] * s + ic[..., 0]
-    word = octree_u32[node_idx]
 
     leaf_mask = jnp.uint32(IS_LEAF_MASK)
     cidx_mask = jnp.uint32(CHILDREN_INDEX_MASK)
+
+    if fast:
+        view8 = octree_u32.reshape(-1, 8)
+        rows = view8[node_idx >> 3]
+        word = _select8(rows, (node_idx & 7).astype(jnp.uint32))
+    else:
+        word = octree_u32[node_idx]
 
     for _ in range(levels):
         is_leaf = (word & leaf_mask) != 0
@@ -80,15 +104,28 @@ def _octree_query(
             + ((frac[..., 1] >= 0.5).astype(jnp.uint32) << 1)
             + (frac[..., 0] >= 0.5).astype(jnp.uint32)
         )
-        nxt = octree_u32[(word & cidx_mask) + child]
+        base = word & cidx_mask
+        if fast:
+            # children blocks are 8-aligned: one row gather + in-row select
+            rows = view8[(base >> 3).astype(jnp.int32)]
+            nxt = _select8(rows, child)
+        else:
+            nxt = octree_u32[base + child]
         nfrac = 2.0 * frac
         nfrac = nfrac - jnp.floor(nfrac)
         word = jnp.where(is_leaf, word, nxt)
         frac = jnp.where(is_leaf[..., None], frac, nfrac)
 
     base = (word & cidx_mask).astype(jnp.int32)
-    gather_idx = base[..., None] + jnp.arange(num_coeff, dtype=jnp.int32)
-    coeffs = jax.lax.bitcast_convert_type(octree_u32[gather_idx], jnp.float32)
+    if fast:
+        shift = 6 if num_coeff == 64 else 3
+        viewc = octree_u32.reshape(-1, num_coeff)
+        coeffs_u32 = viewc[base >> shift]
+    else:
+        coeffs_u32 = octree_u32[
+            base[..., None] + jnp.arange(num_coeff, dtype=jnp.int32)
+        ]
+    coeffs = jax.lax.bitcast_convert_type(coeffs_u32, jnp.float32)
 
     if interpolation == "tricubic":
         d_in = tricubic_interpolate(coeffs, frac)
@@ -110,6 +147,30 @@ def _octree_query(
         return d, g
     d_out = box_distance(pts, center, size3)
     return jnp.where(in_box, d_in, d_out + min_border_value)
+
+
+def _layout_is_aligned(
+    data: np.ndarray, start_grid_size: int, num_coeff: int
+) -> bool:
+    """Host-side walk validating the row-gather layout invariants: total
+    length a multiple of 64, children blocks 8-aligned, coefficient blocks
+    num_coeff-aligned. Structures built here always satisfy them; arrays
+    imported from reference .bin files may not."""
+    if data.shape[0] % 64:
+        return False
+    frontier = data[: start_grid_size**3]
+    for _ in range(32):
+        is_leaf = (frontier & IS_LEAF_MASK) != 0
+        bases = (frontier & CHILDREN_INDEX_MASK).astype(np.int64)
+        if np.any(bases[is_leaf] % num_coeff):
+            return False
+        inner = bases[~is_leaf]
+        if inner.size == 0:
+            return True
+        if np.any(inner % 8):
+            return False
+        frontier = data[(inner[:, None] + np.arange(8)).reshape(-1)]
+    return False  # deeper than any valid octree: be safe
 
 
 class OctreeSdf(SdfFunction):
@@ -189,6 +250,9 @@ class OctreeSdf(SdfFunction):
         self.min_border_value = float(result.min_border_value)
         self.build_stats = result.stats
         self._leaf_depths = result.leaf_depths
+        self._fast_layout = _layout_is_aligned(
+            result.octree_u32, self.start_grid_size, self.num_coefficients
+        )
 
     # -- queries --------------------------------------------------------------
 
@@ -210,6 +274,7 @@ class OctreeSdf(SdfFunction):
             num_coeff=self.num_coefficients,
             interpolation=self.interpolation,
             with_gradient=with_gradient,
+            fast=self._fast_layout,
         )
         if with_gradient:
             d, g = out
@@ -262,6 +327,11 @@ class OctreeSdf(SdfFunction):
         self.interpolation = str(state.get("interpolation", "tricubic"))
         self._leaf_depths = np.asarray(state.get("leaf_depths", []), np.int32)
         self.build_stats = {}
+        self._fast_layout = _layout_is_aligned(
+            np.asarray(self.octree_data),
+            self.start_grid_size,
+            self.num_coefficients,
+        )
 
     @classmethod
     def _from_state_arrays(cls, state: dict) -> "OctreeSdf":

@@ -261,6 +261,14 @@ def build_octree(
         if len(idxs) == 0:
             return
         L = len(idxs)
+        # Align the coefficient block to num_coeff words so every leaf's
+        # coefficients form one aligned row of a (W/num_coeff, num_coeff)
+        # view — queries then fetch them as a single row gather, which XLA
+        # lowers ~100x faster on TPU than per-element gathers.
+        align_pad = (-total_len) % num_coeff
+        if align_pad:
+            blocks.append(np.zeros(align_pad, np.uint32))
+            total_len += align_pad
         coeff_block = coeffs_np[idxs].astype(np.float32).view(np.uint32)
         starts = total_len + num_coeff * np.arange(L, dtype=np.int64)
         blocks.append(coeff_block.reshape(-1))
@@ -399,6 +407,11 @@ def build_octree(
         depth += 1
 
     # ---- assemble the flat array -------------------------------------------
+    # Trailing pad to a whole number of 64-word rows (query-side reshapes).
+    tail_pad = (-total_len) % 64
+    if tail_pad:
+        blocks.append(np.zeros(tail_pad, np.uint32))
+        total_len += tail_pad
     octree = np.concatenate(blocks)
     assert octree.shape[0] == total_len
     for slots, words in slot_patches:

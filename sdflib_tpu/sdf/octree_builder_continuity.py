@@ -581,16 +581,21 @@ def build_octree_continuity(
     # ---- Final assembly -------------------------------------------------------
     a_idx = np.nonzero(registry.alive)[0]
     L = len(a_idx)
-    octree = np.zeros(total_nodes + num_coeff * L, np.uint32)
+    # Align the coefficient section to num_coeff words (row-gather queries)
+    # and the total to 64-word rows.
+    coeff_base = total_nodes + ((-total_nodes) % num_coeff)
+    total_words = coeff_base + num_coeff * L
+    total_words += (-total_words) % 64
+    octree = np.zeros(total_words, np.uint32)
     for slots_p, words in node_patches:
         octree[slots_p] = words
 
-    coeff_starts = total_nodes + num_coeff * np.arange(L, dtype=np.int64)
+    coeff_starts = coeff_base + num_coeff * np.arange(L, dtype=np.int64)
     octree[registry.slots[a_idx]] = (
         coeff_starts.astype(np.uint32) | IS_LEAF_MASK
     )
     coeff_block = registry.coeffs[a_idx].astype(np.float32).view(np.uint32)
-    octree[total_nodes:] = coeff_block.reshape(-1)
+    octree[coeff_base : coeff_base + num_coeff * L] = coeff_block.reshape(-1)
 
     leaf_centers = registry.centers[a_idx]
     leaf_halves = registry.halves[a_idx]
