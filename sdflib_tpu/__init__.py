@@ -8,6 +8,26 @@ tool suite — built for TPU meshes (pjit/shard_map) rather than ported from
 the reference C++.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: octree builds compile one kernel per
+# (chunk, candidate-width) bucket; re-runs must not pay the (remote) TPU
+# compile latency again. Opt out with SDFLIB_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SDFLIB_TPU_NO_COMPILE_CACHE"):
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/sdflib_tpu/jax_cache"),
+            )
+            # Cache even sub-second compiles: on remote-compile setups every
+            # new-shape eager op costs a ~0.5 s round trip otherwise.
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # cache is best-effort; never block import
+        pass
+
 from .mesh import BoundingBox, Mesh, load_mesh
 from .triangle import TriangleDataSoA, calculate_mesh_triangle_data
 

@@ -24,6 +24,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..triangle import TriangleDataSoA
+from .point_triangle import (
+    NUM_PACKED_FIELDS as _NUM_FIELDS,
+    pack_triangle_fields,
+    sq_dist_from_field_fn,
+)
 
 __all__ = [
     "pack_triangle_fields",
@@ -31,82 +36,15 @@ __all__ = [
     "pallas_available",
 ]
 
-# Packed triangle-field rows (fields x triangles layout so each field is a
-# (1, TK) lane-broadcast row inside the kernel).
-_NUM_FIELDS = 19
-_F_ORIGIN = 0       # 0:3   origin xyz
-_F_TRANSFORM = 3    # 3:12  world->tri transform, row-major
-_F_B = 12           # 12:14 edge v2->v3 2D direction
-_F_C = 14           # 14:16 edge v3->v1 2D direction
-_F_V2X = 16         # v2.x in triangle space
-_F_V3 = 17          # 17:19 v3.xy in triangle space
-
-
-def pack_triangle_fields(tris: TriangleDataSoA) -> jnp.ndarray:
-    """(T, 19) fp32 field matrix: triangles on sublanes inside the kernel."""
-    t = jax.tree.map(jnp.asarray, tris)
-    rows = [
-        t.origin[:, 0], t.origin[:, 1], t.origin[:, 2],
-        t.transform[:, 0, 0], t.transform[:, 0, 1], t.transform[:, 0, 2],
-        t.transform[:, 1, 0], t.transform[:, 1, 1], t.transform[:, 1, 2],
-        t.transform[:, 2, 0], t.transform[:, 2, 1], t.transform[:, 2, 2],
-        t.b[:, 0], t.b[:, 1],
-        t.c[:, 0], t.c[:, 1],
-        t.v2x,
-        t.v3xy[:, 0], t.v3xy[:, 1],
-    ]
-    return jnp.stack(rows, axis=-1).astype(jnp.float32)
-
 
 def _sq_dist_tile(px, py, pz, tf):
-    """Region-classified squared distance for a (TK tris, PT points) tile.
-
-    px/py/pz: (1, PT) point coords along lanes; tf: (TK, 19) triangle
-    fields along sublanes. Mirrors ops.point_triangle.sq_dist_pair
-    (TriangleUtils.h:76-135) including tie-breaking comparisons.
-    """
-    f = lambda r: tf[:, r][:, None]  # (TK, 1)
-
-    dx = px - f(_F_ORIGIN)
-    dy = py - f(_F_ORIGIN + 1)
-    dz = pz - f(_F_ORIGIN + 2)
-
-    ppx = f(_F_TRANSFORM + 0) * dx + f(_F_TRANSFORM + 1) * dy + f(_F_TRANSFORM + 2) * dz
-    ppy = f(_F_TRANSFORM + 3) * dx + f(_F_TRANSFORM + 4) * dy + f(_F_TRANSFORM + 5) * dz
-    ppz = f(_F_TRANSFORM + 6) * dx + f(_F_TRANSFORM + 7) * dy + f(_F_TRANSFORM + 8) * dz
-
-    b0, b1 = f(_F_B), f(_F_B + 1)
-    c0, c1 = f(_F_C), f(_F_C + 1)
-    v2x = f(_F_V2X)
-    v3x, v3y = f(_F_V3), f(_F_V3 + 1)
-
-    de1 = -ppy
-    de2 = (ppx - v2x) * b1 - ppy * b0
-    de3 = ppx * c1 - ppy * c0
-    z2 = ppz * ppz
-
-    d_v1 = ppx * ppx + ppy * ppy + z2
-    rx2 = ppx - v2x
-    d_v2 = rx2 * rx2 + ppy * ppy + z2
-    rx3, ry3 = ppx - v3x, ppy - v3y
-    d_v3 = rx3 * rx3 + ry3 * ry3 + z2
-
-    r1 = jnp.where(
-        ppx <= 0.0, d_v1, jnp.where(ppx >= v2x, d_v2, de1 * de1 + z2)
-    )
-    dot_b_v2 = rx2 * b0 + ppy * b1
-    dot_b_v3 = rx3 * b0 + ry3 * b1
-    r2 = jnp.where(
-        dot_b_v2 <= 0.0, d_v2, jnp.where(dot_b_v3 >= 0.0, d_v3, de2 * de2 + z2)
-    )
-    dot_c_v1 = ppx * c0 + ppy * c1
-    dot_c_v3 = rx3 * c0 + ry3 * c1
-    r3 = jnp.where(
-        dot_c_v1 >= 0.0, d_v1, jnp.where(dot_c_v3 <= 0.0, d_v3, de3 * de3 + z2)
-    )
-    return jnp.where(
-        de1 >= 0.0, r1, jnp.where(de2 >= 0.0, r2, jnp.where(de3 >= 0.0, r3, z2))
-    )
+    """Region-classified squared distance for a (TK tris, PT points) tile:
+    px/py/pz (1, PT) point coords along lanes, tf (TK, 19) triangle fields
+    along sublanes -> (TK, PT). Shares the exact math (and tie-breaking)
+    with the batch paths; the column-slice accessor keeps every broadcast
+    2D ((TK,1) x (1,PT)) — a 3D fields intermediate would force Mosaic
+    relayouts that blow the VMEM budget."""
+    return sq_dist_from_field_fn(px, py, pz, lambda r: tf[:, r][:, None])
 
 
 def _nearest_kernel(pts_ref, tf_ref, best_ref, idx_ref, *, tile_t, num_tris):

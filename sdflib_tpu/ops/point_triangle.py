@@ -35,6 +35,10 @@ __all__ = [
     "nearest_triangle",
     "signed_distance_batch",
     "signed_distance_grad_batch",
+    "pack_triangle_fields",
+    "sq_dist_packed",
+    "sq_dist_from_field_fn",
+    "NUM_PACKED_FIELDS",
 ]
 
 # Region codes
@@ -212,6 +216,94 @@ def signed_dist_grad_pair(point, tri: TriangleDataSoA):
     normals = (n_v1, n_v2, n_v3, n_e1, n_e2, n_e3, tn)
     grad = jnp.where(code == FACE, tn, sign * _select_by_code(code, normals))
     return dist, grad
+
+
+# ---------------------------------------------------------------------------
+# Packed-field kernels: triangle fields flattened to a 19-float row so bulk
+# sweeps fetch them as contiguous row gathers / lane-broadcast tiles.
+# ---------------------------------------------------------------------------
+
+NUM_PACKED_FIELDS = 19
+_F_ORIGIN = 0       # 0:3   origin xyz
+_F_TRANSFORM = 3    # 3:12  world->tri transform, row-major
+_F_B = 12           # 12:14 edge v2->v3 2D direction
+_F_C = 14           # 14:16 edge v3->v1 2D direction
+_F_V2X = 16         # v2.x in triangle space
+_F_V3 = 17          # 17:19 v3.xy in triangle space
+
+
+def pack_triangle_fields(tris: TriangleDataSoA):
+    """(T, 19) fp32 matrix of the fields sq_dist needs, one row per
+    triangle (gather-friendly layout)."""
+    t = jax.tree.map(jnp.asarray, tris)
+    rows = [
+        t.origin[:, 0], t.origin[:, 1], t.origin[:, 2],
+        t.transform[:, 0, 0], t.transform[:, 0, 1], t.transform[:, 0, 2],
+        t.transform[:, 1, 0], t.transform[:, 1, 1], t.transform[:, 1, 2],
+        t.transform[:, 2, 0], t.transform[:, 2, 1], t.transform[:, 2, 2],
+        t.b[:, 0], t.b[:, 1],
+        t.c[:, 0], t.c[:, 1],
+        t.v2x,
+        t.v3xy[:, 0], t.v3xy[:, 1],
+    ]
+    return jnp.stack(rows, axis=-1).astype(jnp.float32)
+
+
+def sq_dist_from_field_fn(px, py, pz, f):
+    """Region-classified squared distance from a field accessor.
+
+    px/py/pz: broadcastable point coords; ``f(r)`` returns packed field row
+    ``r`` (``pack_triangle_fields`` layout) broadcastable against them. All
+    elementwise fp32 (VPU) with the exact tie-breaking of
+    TriangleUtils.h:76-135. The accessor indirection lets callers pick a
+    layout that avoids relayouts (lane-broadcast tiles in Pallas, trailing
+    field axes in XLA)."""
+
+    dx = px - f(_F_ORIGIN)
+    dy = py - f(_F_ORIGIN + 1)
+    dz = pz - f(_F_ORIGIN + 2)
+
+    ppx = f(_F_TRANSFORM + 0) * dx + f(_F_TRANSFORM + 1) * dy + f(_F_TRANSFORM + 2) * dz
+    ppy = f(_F_TRANSFORM + 3) * dx + f(_F_TRANSFORM + 4) * dy + f(_F_TRANSFORM + 5) * dz
+    ppz = f(_F_TRANSFORM + 6) * dx + f(_F_TRANSFORM + 7) * dy + f(_F_TRANSFORM + 8) * dz
+
+    b0, b1 = f(_F_B), f(_F_B + 1)
+    c0, c1 = f(_F_C), f(_F_C + 1)
+    v2x = f(_F_V2X)
+    v3x, v3y = f(_F_V3), f(_F_V3 + 1)
+
+    de1 = -ppy
+    de2 = (ppx - v2x) * b1 - ppy * b0
+    de3 = ppx * c1 - ppy * c0
+    z2 = ppz * ppz
+
+    d_v1 = ppx * ppx + ppy * ppy + z2
+    rx2 = ppx - v2x
+    d_v2 = rx2 * rx2 + ppy * ppy + z2
+    rx3, ry3 = ppx - v3x, ppy - v3y
+    d_v3 = rx3 * rx3 + ry3 * ry3 + z2
+
+    r1 = jnp.where(
+        ppx <= 0.0, d_v1, jnp.where(ppx >= v2x, d_v2, de1 * de1 + z2)
+    )
+    dot_b_v2 = rx2 * b0 + ppy * b1
+    dot_b_v3 = rx3 * b0 + ry3 * b1
+    r2 = jnp.where(
+        dot_b_v2 <= 0.0, d_v2, jnp.where(dot_b_v3 >= 0.0, d_v3, de2 * de2 + z2)
+    )
+    dot_c_v1 = ppx * c0 + ppy * c1
+    dot_c_v3 = rx3 * c0 + ry3 * c1
+    r3 = jnp.where(
+        dot_c_v1 >= 0.0, d_v1, jnp.where(dot_c_v3 <= 0.0, d_v3, de3 * de3 + z2)
+    )
+    return jnp.where(
+        de1 >= 0.0, r1, jnp.where(de2 >= 0.0, r2, jnp.where(de3 >= 0.0, r3, z2))
+    )
+
+
+def sq_dist_packed(px, py, pz, fields):
+    """sq_dist_from_field_fn with fields (..., 19) on the trailing axis."""
+    return sq_dist_from_field_fn(px, py, pz, lambda r: fields[..., r])
 
 
 def sq_dist_naive(p, a, b, c):

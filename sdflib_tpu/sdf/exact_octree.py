@@ -35,55 +35,131 @@ from ..mesh import BoundingBox, Mesh
 from ..triangle import TriangleDataSoA, calculate_mesh_triangle_data
 from ..ops.box import box_distance, box_distance_gradient
 from ..ops.point_triangle import (
+    pack_triangle_fields,
     signed_dist_grad_pair,
     signed_dist_pair,
+    sq_dist_from_field_fn,
+    sq_dist_packed,
     sq_dist_pair,
 )
+from .octree import _select8
 from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
 from .sdf_function import SdfFormat, SdfFunction
 
 __all__ = ["ExactOctreeSdf"]
 
 
+# 8 cube corners in {-1,1}^3 (offset units of the node half size).
+_CORNER_OFFS = np.array(
+    [[(c & 1) * 2 - 1, ((c >> 1) & 1) * 2 - 1, ((c >> 2) & 1) * 2 - 1]
+     for c in range(8)],
+    np.float32,
+)
+
+# 27 half-step lattice anchors in {-1,0,1}^3 (node half-size units): the
+# node partitions into 27-anchored overlapping half-size sub-cubes; any
+# point lies within (half/2)*sqrt(3) of its anchor.
+_LATTICE_OFFS = np.array(
+    [[i, j, k] for k in (-1, 0, 1) for j in (-1, 0, 1) for i in (-1, 0, 1)],
+    np.float32,
+)
+
+
+def _triangle_aabbs(tris: TriangleDataSoA):
+    """(T, 6) per-triangle world AABB [min_xyz, max_xyz]."""
+    vw = jnp.asarray(tris.v_world)  # (T, 3 verts, 3)
+    return jnp.concatenate([vw.min(axis=1), vw.max(axis=1)], axis=-1)
+
+
 @jax.jit
-def _center_cull_chunk(tris: TriangleDataSoA, centers, cand_idx, cand_valid, half):
-    """Distances from node centers to candidate triangles + keep masks."""
-    cand = jax.tree.map(lambda a: a[cand_idx], tris)
-    sqd = jax.vmap(jax.vmap(sq_dist_pair, in_axes=(None, 0)))(centers, cand)
-    sqd = jnp.where(cand_valid, sqd, jnp.inf)
-    dc = jnp.sqrt(sqd)
-    minc = jnp.min(dc, axis=1, keepdims=True)
-    diag = 2.0 * jnp.sqrt(jnp.asarray(3.0, dc.dtype)) * half
-    keep = (dc <= minc + diag) & cand_valid
-    return keep, jnp.sum(keep, axis=1)
+def _lattice_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
+    """Lattice-anchored triangle culling (the role of the reference's
+    influence strategies, TrianglesInfluence.h:119-860, re-derived for
+    batched evaluation): keep t iff for SOME half-step lattice anchor l,
+
+        d_lb(t, subcube_l) <= min_t' d(t', l) + (half/2)*sqrt(3)
+
+    Safety: a point p in the node lies in the half-size sub-cube of some
+    anchor l with |p - l| <= (half/2)*sqrt(3); if t is nearest at p then
+    d(t, subcube_l) <= d(t,p) = min_t' d(t',p) <= min_t' d(t',l) + |p-l|.
+    d_lb is the exact AABB(triangle)-to-sub-cube distance. Anchored at 27
+    points instead of 8 corners, the slack halves and each min is local —
+    far tighter lists on dense meshes. All device-resident; `packed` is
+    the (T, 19) field matrix, `aabbs` the (T, 6) triangle AABBs."""
+    fields = packed[cand_idx]                        # (C, K, 19) row gather
+    ab = aabbs[cand_idx]                             # (C, K, 6) row gather
+    px = centers[:, 0:1]
+    py = centers[:, 1:2]
+    pz = centers[:, 2:3]
+    qh = 0.5 * half
+    slack = jnp.sqrt(jnp.asarray(3.0, centers.dtype)) * qh
+
+    keep = jnp.zeros(cand_idx.shape, bool)
+    sqd_center = None
+    for l in range(27):
+        off = jnp.asarray(_LATTICE_OFFS[l]) * half
+        sqd_l = sq_dist_packed(
+            px + off[0], py + off[1], pz + off[2], fields
+        )
+        sqd_l = jnp.where(cand_valid, sqd_l, jnp.inf)
+        if l == 13:  # (0,0,0): the node center — reused as the leaf sort key
+            sqd_center = sqd_l
+        min_l = jnp.sqrt(jnp.min(sqd_l, axis=1))     # (C,)
+
+        anchor = centers + off[None]                 # (C, 3)
+        lo = anchor[:, None, :] - qh
+        hi = anchor[:, None, :] + qh
+        gap = jnp.maximum(
+            jnp.maximum(ab[..., 0:3] - hi, lo - ab[..., 3:6]), 0.0
+        )
+        d_lb = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # (C, K)
+        keep = keep | (d_lb <= min_l[:, None] + slack)
+
+    keep = keep & cand_valid
+    return keep, jnp.sum(keep, axis=1), sqd_center
+
+
+@jax.jit
+def _compact_rows(idx_rows, keep_rows):
+    """Stable-compact kept entries to the front of each row; returns
+    (compacted ids, kept mask) with the same width (slice on host)."""
+    order = jnp.argsort(~keep_rows, axis=1, stable=True)
+    return (
+        jnp.take_along_axis(idx_rows, order, axis=1),
+        jnp.take_along_axis(keep_rows, order, axis=1),
+    )
+
+
+@jax.jit
+def _compact_leaf_rows(sqd_center, idx_rows, keep_rows):
+    """Compact kept ids to the row front SORTED by distance to the leaf
+    center (dropped entries last; keys precomputed by the cull kernel).
+    Distance-ordered leaf lists let queries stop scanning once the
+    remaining chunks provably cannot beat the running best — the fix for
+    fat equidistant-shell interior leaves."""
+    key = jnp.where(keep_rows, sqd_center, jnp.inf)
+    order = jnp.argsort(key, axis=1, stable=True)
+    return jnp.take_along_axis(idx_rows, order, axis=1)
 
 
 # Leaf triangle ids are stored CSR-style: one flat int32 array where each
 # leaf's span starts at leaf_offset[l] and is padded with -1 up to a multiple
-# of _LEAF_CHUNK. The query loops over chunks with a running min — memory is
-# O(total triangles) instead of O(num_leaves * max_count), which matters for
-# geometries with fat equidistant-shell interior leaves.
+# of _LEAF_CHUNK. Alongside the ids, the query uses DENORMALIZED field
+# buckets: a (NB, CH*19) fp32 matrix holding the packed distance fields of
+# every bucket's triangles. The reference bit-packs leaf sets and decodes
+# them through a shared cache (ExactOctreeSdf.cpp:105-164); on TPU the
+# opposite trade wins — spend memory replicating triangle fields per leaf so
+# one 5 KB row gather fetches a whole bucket, instead of CH*19 scalar-core
+# element gathers (~100x slower).
 _LEAF_CHUNK = 64
 
 
-@partial(jax.jit, static_argnames=("levels", "max_chunks", "with_gradient"))
-def _exact_query(
-    octree_u32,
-    leaf_offset,     # (L,) int32 into tri_flat
-    leaf_count,      # (L,) int32
-    tri_flat,        # flat int32 triangle ids, -1 padded per leaf span
-    tris: TriangleDataSoA,
-    points,
-    box_min,
-    box_size,
-    start_grid_size,
-    *,
-    levels: int,
-    max_chunks: int,
-    with_gradient: bool,
+@partial(jax.jit, static_argnames=("levels",))
+def _exact_descent(
+    octree_u32, points, box_min, box_size, start_grid_size, *, levels: int
 ):
-    """Descent + masked brute force over the leaf list
-    (ExactOctreeSdf.cpp:38-178 semantics)."""
+    """Row-gather descent to each point's leaf id
+    (ExactOctreeSdf.cpp:57-66 semantics). Returns (leaf_id, in_box)."""
     pts = points
     s = start_grid_size
     cell = box_size / s
@@ -93,7 +169,10 @@ def _exact_query(
     frac = frac - ipos
     in_box = jnp.all((ipos >= 0) & (ipos < s), axis=-1)
     ic = jnp.clip(ipos, 0, s - 1)
-    word = octree_u32[ic[..., 2] * (s * s) + ic[..., 1] * s + ic[..., 0]]
+    node_idx = ic[..., 2] * (s * s) + ic[..., 1] * s + ic[..., 0]
+
+    view8 = octree_u32.reshape(-1, 8)
+    word = _select8(view8[node_idx >> 3], (node_idx & 7).astype(jnp.uint32))
 
     leaf_mask = jnp.uint32(IS_LEAF_MASK)
     cidx_mask = jnp.uint32(CHILDREN_INDEX_MASK)
@@ -106,37 +185,111 @@ def _exact_query(
             + ((frac[..., 1] > 0.5).astype(jnp.uint32) << 1)
             + (frac[..., 0] > 0.5).astype(jnp.uint32)
         )
-        nxt = octree_u32[(word & cidx_mask) + child]
+        base = word & cidx_mask
+        nxt = _select8(view8[(base >> 3).astype(jnp.int32)], child)
         nfrac = 2.0 * frac
         nfrac = nfrac - jnp.floor(nfrac)
         word = jnp.where(is_leaf, word, nxt)
         frac = jnp.where(is_leaf[..., None], frac, nfrac)
 
-    leaf_id = (word & cidx_mask).astype(jnp.int32)
-    off = leaf_offset[leaf_id]                 # (P,)
-    cnt = leaf_count[leaf_id]
+    return (word & cidx_mask).astype(jnp.int32), in_box
 
-    def chunk_step(i, carry):
-        best, best_id = carry
-        active = (i * _LEAF_CHUNK) < cnt
-        idx = off[..., None] + i * _LEAF_CHUNK + jnp.arange(_LEAF_CHUNK)
-        tri_ids = tri_flat[idx]                # (P, CH)
+
+@partial(
+    jax.jit,
+    static_argnames=("max_chunks", "dense_buckets", "early_exit"),
+)
+def _exact_scan(
+    leaf_offset,       # (L,) int32 into tri_flat, _LEAF_CHUNK-aligned
+    leaf_count,        # (L,) int32
+    leaf_centers,      # (L, 3) leaf box centers
+    bucket_ids,        # (NB, CH) int32 triangle ids, -1 padded
+    bucket_fields,     # (NB, CH*19) fp32 fields, or (T, 19) packed matrix
+    bucket_cmin,       # (NB,) min leaf-center distance of bucket triangles
+    pts,               # (B, 3) leaf-coherent point block
+    leaf_id,           # (B,)
+    *,
+    max_chunks: int,
+    dense_buckets: bool = True,
+    early_exit: bool = True,
+):
+    """Masked brute force over denormalized leaf buckets with
+    distance-sorted early exit (ExactOctreeSdf.cpp:105-175 role). Points
+    should be pre-sorted by leaf id so whole blocks exit early together."""
+    bucket0 = leaf_offset[leaf_id] // _LEAF_CHUNK   # (B,) first bucket row
+    cnt = leaf_count[leaf_id]
+    num_buckets = bucket_ids.shape[0]
+
+    px, py, pz = pts[..., 0:1], pts[..., 1:2], pts[..., 2:3]  # (P, 1)
+    # Distance from each point to its leaf center — the early-exit bound:
+    # an unscanned triangle t satisfies d(p,t) >= d(center,t) - r_p, and
+    # leaf lists are sorted by center distance, so once
+    # bucket_cmin[next] - r_p > best the scan is provably complete.
+    r_p = jnp.sqrt(
+        jnp.sum(jnp.square(pts - leaf_centers[leaf_id]), axis=-1)
+    )
+
+    def chunk_cond(carry):
+        i, best, _, done = carry
+        return (i < max_chunks) & ~jnp.all(done)
+
+    def chunk_step(carry):
+        i, best, best_id, done = carry
+        active = ((i * _LEAF_CHUNK) < cnt) & ~done
+        brow = jnp.where(active, bucket0 + i, 0)
+        tri_ids = bucket_ids[brow]                       # (P, CH) row gather
+        if dense_buckets:
+            fields = bucket_fields[brow].reshape(        # (P, 19, CH)
+                pts.shape[:-1] + (19, _LEAF_CHUNK)
+            )
+            field_fn = lambda r: fields[..., r, :]
+        else:  # memory-light: per-field element gathers from (T, 19)
+            safe = jnp.maximum(tri_ids, 0)
+            field_fn = lambda r: bucket_fields[:, r][safe]
         valid = (tri_ids >= 0) & active[..., None]
-        cand = jax.tree.map(lambda a: a[jnp.maximum(tri_ids, 0)], tris)
-        sqd = jax.vmap(jax.vmap(sq_dist_pair, in_axes=(None, 0)))(pts, cand)
+        sqd = sq_dist_from_field_fn(px, py, pz, field_fn)  # (P, CH)
         sqd = jnp.where(valid, sqd, jnp.inf)
         local = jnp.min(sqd, axis=-1)
         local_id = jnp.take_along_axis(
             tri_ids, jnp.argmin(sqd, axis=-1)[..., None], axis=-1
         )[..., 0]
         take = local < best
-        return jnp.where(take, local, best), jnp.where(take, local_id, best_id)
+        best = jnp.where(take, local, best)
+        best_id = jnp.where(take, local_id, best_id)
+
+        exhausted = ((i + 1) * _LEAF_CHUNK) >= cnt
+        if early_exit:
+            nxt = jnp.minimum(bucket0 + i + 1, num_buckets - 1)
+            unbeatable = bucket_cmin[nxt] - r_p > jnp.sqrt(best)
+            done = done | exhausted | unbeatable
+        else:
+            done = done | exhausted
+        return i + 1, best, best_id, done
 
     init = (
+        jnp.int32(0),
         jnp.full(pts.shape[:-1], jnp.inf, pts.dtype),
         jnp.zeros(pts.shape[:-1], jnp.int32),
+        jnp.zeros(pts.shape[:-1], bool),
     )
-    _, win_ids = jax.lax.fori_loop(0, max_chunks, chunk_step, init)
+    _, _, win_ids, _ = jax.lax.while_loop(chunk_cond, chunk_step, init)
+    return win_ids
+
+
+@partial(jax.jit, static_argnames=("with_gradient",))
+def _exact_finish(
+    tris: TriangleDataSoA,
+    points,
+    win_ids,
+    in_box,
+    box_min,
+    box_size,
+    *,
+    with_gradient: bool,
+):
+    """Signed evaluation of the winning triangle + out-of-box fallback
+    (ExactOctreeSdf.cpp:44-49, :166-175)."""
+    pts = points
     win_tri = jax.tree.map(lambda a: a[jnp.maximum(win_ids, 0)], tris)
 
     center = box_min + 0.5 * box_size
@@ -161,11 +314,18 @@ def _build_exact(
     max_depth: int,
     start_depth: int,
     min_triangles_per_node: int,
-    pair_budget: int = 1 << 21,
+    pair_budget: int = 1 << 22,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
-    stats)."""
-    tris_dev = jax.tree.map(jnp.asarray, tris)
+    stats).
+
+    All (N, K) candidate state lives on DEVICE across levels — only small
+    per-node scalars (keep counts, terminal masks) and the final leaf lists
+    cross the host boundary. The per-node triangle cull is the reference's
+    corner criterion (BasicTrianglesInfluence), far tighter than a
+    center-ball test on thin-shell geometry."""
+    packed = jnp.asarray(pack_triangle_fields(tris))
+    aabbs = _triangle_aabbs(tris)
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
 
@@ -173,116 +333,213 @@ def _build_exact(
     n0 = s * s * s
     cell = box_size / s
     zi, yi, xi = np.meshgrid(np.arange(s), np.arange(s), np.arange(s), indexing="ij")
-    centers = np.stack(
-        [
-            box_min[0] + cell * (xi.ravel() + 0.5),
-            box_min[1] + cell * (yi.ravel() + 0.5),
-            box_min[2] + cell * (zi.ravel() + 0.5),
-        ],
-        axis=-1,
-    ).astype(np.float32)
+    centers = jnp.asarray(
+        np.stack(
+            [
+                box_min[0] + cell * (xi.ravel() + 0.5),
+                box_min[1] + cell * (yi.ravel() + 0.5),
+                box_min[2] + cell * (zi.ravel() + 0.5),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+    )
 
-    cand_idx = np.broadcast_to(np.arange(T, dtype=np.int32), (n0, T)).copy()
-    cand_valid = np.ones((n0, T), bool)
-    node_slots = np.arange(n0, dtype=np.int64)
+    Tp = _round_pow2(T, 8)
+    cand_idx = jnp.broadcast_to(
+        jnp.pad(jnp.arange(T, dtype=jnp.int32), (0, Tp - T)), (n0, Tp)
+    )
+    cand_valid = jnp.broadcast_to(jnp.arange(Tp) < T, (n0, Tp))
 
     blocks = [np.zeros(n0, np.uint32)]
     total_len = n0
     slot_patches: list[tuple[np.ndarray, np.ndarray]] = []
-    leaf_lists: list[np.ndarray] = []
+    # (device ids (Lg, w) compacted-to-front, host counts (Lg,)) — the ids
+    # stay on device; CSR assembly scatters them into tri_flat there
+    # (device->host on this setup runs at ~17 MB/s, so leaf lists must
+    # never round-trip).
+    leaf_chunks: list[tuple[jax.Array, np.ndarray]] = []
+    leaf_center_chunks: list[np.ndarray] = []
     leaf_counter = 0
-    half = 0.5 * cell
-    depth = start_depth
     stats: dict = {"nodes_per_depth": {}, "tris_per_leaf": []}
 
-    while centers.shape[0] > 0:
-        N, K = centers.shape[0], cand_idx.shape[1]
-        stats["nodes_per_depth"][depth] = N
+    # Per-level node GROUPS bucketed by candidate width (x4 buckets): one
+    # fat equidistant-shell node no longer forces its whole level to its
+    # width — memory and compute track the actual list-size distribution.
+    # group = (centers_dev (M,3), cand_idx_dev (M,Kg), cand_valid_dev,
+    #          slots_np (M,))
+    groups = [(centers, cand_idx, cand_valid, np.arange(n0, dtype=np.int64))]
+    half = 0.5 * cell
+    depth = start_depth
 
-        Kp = _round_pow2(K, 8)
-        C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
-        Np = -(-N // C) * C
-        pad = Np - N
-        cen_p = np.pad(centers, [(0, pad), (0, 0)])
-        ci_p = np.pad(cand_idx, [(0, pad), (0, Kp - K)], constant_values=0)
-        va_p = np.pad(cand_valid, [(0, pad), (0, Kp - K)], constant_values=False)
-        va_p[N:, 0] = True
+    while groups:
+        stats["nodes_per_depth"][depth] = sum(g[0].shape[0] for g in groups)
+        # children buckets: width -> list of (centers, cand, valid, slots)
+        next_buckets: dict[int, list] = {}
 
-        keeps = np.zeros((Np, Kp), bool)
-        kcounts = np.zeros(Np, np.int64)
-        for i in range(0, Np, C):
-            sl = slice(i, i + C)
-            k, kc = _center_cull_chunk(
-                tris_dev,
-                jnp.asarray(cen_p[sl]),
-                jnp.asarray(ci_p[sl]),
-                jnp.asarray(va_p[sl]),
-                jnp.float32(half),
+        for centers_g, cand_g, valid_g, slots_g in groups:
+            N, K = cand_g.shape
+            C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
+            keeps_parts, kcount_parts, sqd_parts = [], [], []
+            for i in range(0, N, C):
+                cn, ci, cv = (
+                    centers_g[i : i + C],
+                    cand_g[i : i + C],
+                    valid_g[i : i + C],
+                )
+                pad = (-cn.shape[0]) % C
+                if pad:
+                    cn = jnp.pad(cn, [(0, pad), (0, 0)])
+                    ci = jnp.pad(ci, [(0, pad), (0, 0)])
+                    cv = jnp.pad(cv, [(0, pad), (0, 0)])
+                k, kc, sq = _lattice_cull_chunk(
+                    packed, aabbs, cn, ci, cv, jnp.float32(half)
+                )
+                keeps_parts.append(k)
+                kcount_parts.append(kc)
+                sqd_parts.append(sq)
+            keeps = (
+                jnp.concatenate(keeps_parts)[:N]
+                if len(keeps_parts) > 1
+                else keeps_parts[0][:N]
             )
-            keeps[sl], kcounts[sl] = np.asarray(k), np.asarray(kc)
-        keeps, kcounts = keeps[:N, :K], kcounts[:N]
+            sqd_cen = (
+                jnp.concatenate(sqd_parts)[:N]
+                if len(sqd_parts) > 1
+                else sqd_parts[0][:N]
+            )
+            kcounts = np.asarray(
+                jnp.concatenate(kcount_parts)[:N]
+                if len(kcount_parts) > 1
+                else kcount_parts[0][:N]
+            )
 
-        terminal = (kcounts <= min_triangles_per_node) | (depth == max_depth)
+            terminal = (kcounts <= min_triangles_per_node) | (
+                depth == max_depth
+            )
 
-        # Emit leaves: leaf word = IS_LEAF | leaf_id.
-        t_idx = np.nonzero(terminal)[0]
-        if len(t_idx):
-            for i in t_idx:
-                kept = cand_idx[i][keeps[i]]
-                leaf_lists.append(kept.astype(np.int32))
-                stats["tris_per_leaf"].append(len(kept))
-            leaf_ids = leaf_counter + np.arange(len(t_idx), dtype=np.int64)
-            leaf_counter += len(t_idx)
+            t_idx = np.nonzero(terminal)[0]
+            if len(t_idx):
+                t_dev = jnp.asarray(t_idx.astype(np.int32))
+                ids_c = _compact_leaf_rows(
+                    sqd_cen[t_dev], cand_g[t_dev], keeps[t_dev]
+                )
+                cnt_np = kcounts[t_idx]
+                leaf_chunks.append((ids_c, cnt_np))
+                leaf_center_chunks.append(np.asarray(centers_g[t_dev]))
+                stats["tris_per_leaf"].extend(int(c) for c in cnt_np)
+                leaf_ids = leaf_counter + np.arange(len(t_idx), dtype=np.int64)
+                leaf_counter += len(t_idx)
+                slot_patches.append(
+                    (
+                        slots_g[t_idx].copy(),
+                        leaf_ids.astype(np.uint32) | IS_LEAF_MASK,
+                    )
+                )
+
+            sub = np.nonzero(~terminal)[0]
+            if len(sub) == 0:
+                continue
+            M = len(sub)
+            child_base = total_len + 8 * np.arange(M, dtype=np.int64)
+            blocks.append(np.zeros(8 * M, np.uint32))
+            total_len += 8 * M
             slot_patches.append(
-                (node_slots[t_idx].copy(), (leaf_ids.astype(np.uint32) | IS_LEAF_MASK))
+                (slots_g[sub].copy(), child_base.astype(np.uint32))
             )
+            child_slots = (child_base[:, None] + np.arange(8)[None])
 
-        sub = np.nonzero(~terminal)[0]
-        if len(sub) == 0:
-            break
-        M = len(sub)
-        child_base = total_len + 8 * np.arange(M, dtype=np.int64)
-        blocks.append(np.zeros(8 * M, np.uint32))
-        total_len += 8 * M
-        slot_patches.append((node_slots[sub].copy(), child_base.astype(np.uint32)))
+            # Bucket subdividing parents by kept-count: width class =
+            # smallest 8*4^j >= count.
+            kc_sub = kcounts[sub]
+            wclass = np.ones_like(kc_sub) * 8
+            while np.any(wclass < kc_sub):
+                wclass = np.where(wclass < kc_sub, wclass * 4, wclass)
 
-        K_next = max(1, int(kcounts[sub].max(initial=1)))
-        order = np.argsort(~keeps[sub], axis=1, kind="stable")[:, :K_next]
-        new_cand = np.take_along_axis(cand_idx[sub], order, axis=1)
-        new_valid = np.take_along_axis(keeps[sub], order, axis=1)
+            child_offsets = jnp.asarray(_CORNER_OFFS)
+            for w in np.unique(wclass):
+                m = wclass == w
+                rows = jnp.asarray(sub[m].astype(np.int32))
+                ids_c, keep_c = _compact_rows(cand_g[rows], keeps[rows])
+                w_int = min(int(w), K)
+                new_cand = jnp.repeat(ids_c[:, :w_int], 8, axis=0)
+                new_valid = jnp.repeat(keep_c[:, :w_int], 8, axis=0)
+                new_centers = (
+                    centers_g[rows][:, None, :]
+                    + child_offsets[None] * (0.5 * half)
+                ).reshape(-1, 3)
+                next_buckets.setdefault(w_int, []).append(
+                    (new_centers, new_cand, new_valid,
+                     child_slots[m].reshape(-1))
+                )
+            del keeps
 
-        child_offsets = np.array(
-            [[(c & 1) * 2 - 1, ((c >> 1) & 1) * 2 - 1, ((c >> 2) & 1) * 2 - 1]
-             for c in range(8)],
-            np.float32,
-        )
-        centers = (
-            centers[sub][:, None, :] + child_offsets[None] * (0.5 * half)
-        ).reshape(M * 8, 3)
-        node_slots = (child_base[:, None] + np.arange(8)[None]).reshape(-1)
-        cand_idx = np.repeat(new_cand, 8, axis=0)
-        cand_valid = np.repeat(new_valid, 8, axis=0)
+        # Merge same-width buckets into one group each.
+        groups = []
+        for w, parts in sorted(next_buckets.items()):
+            if len(parts) == 1:
+                cen, ci, cv, sl = parts[0]
+            else:
+                cen = jnp.concatenate([p[0] for p in parts])
+                ci = jnp.concatenate([p[1] for p in parts])
+                cv = jnp.concatenate([p[2] for p in parts])
+                sl = np.concatenate([p[3] for p in parts])
+            groups.append((cen, ci, cv, sl))
         half *= 0.5
         depth += 1
 
+    # Pad the node array to whole 8-word rows for the row-gather descent.
+    tail = (-total_len) % 64
+    if tail:
+        blocks.append(np.zeros(tail, np.uint32))
+        total_len += tail
     octree = np.concatenate(blocks)
     for slots, words in slot_patches:
         octree[slots] = words
 
     # CSR layout: each leaf's span padded with -1 to a _LEAF_CHUNK multiple.
-    spans = [
-        -(-max(len(l), 1) // _LEAF_CHUNK) * _LEAF_CHUNK for l in leaf_lists
-    ] or [_LEAF_CHUNK]
+    # Offsets/counts are host metadata; the id payload is scattered into
+    # tri_flat ON DEVICE straight from the per-level compacted rows.
+    counts_all = (
+        np.concatenate([c for _, c in leaf_chunks])
+        if leaf_chunks
+        else np.zeros(0, np.int64)
+    )
+    spans = (
+        -(-np.maximum(counts_all, 1) // _LEAF_CHUNK) * _LEAF_CHUNK
+    ).astype(np.int64)
+    total = int(spans.sum()) if len(spans) else _LEAF_CHUNK
     leaf_offset = np.zeros(max(leaf_counter, 1), np.int32)
     leaf_count = np.zeros(max(leaf_counter, 1), np.int32)
-    tri_flat = np.full(int(np.sum(spans)), -1, np.int32)
-    pos = 0
-    for i, l in enumerate(leaf_lists):
-        leaf_offset[i] = pos
-        leaf_count[i] = len(l)
-        tri_flat[pos : pos + len(l)] = l
-        pos += spans[i]
-    return octree, leaf_offset, leaf_count, tri_flat, stats
+    if len(counts_all):
+        leaf_offset[: len(counts_all)] = np.concatenate(
+            [[0], np.cumsum(spans)[:-1]]
+        )
+        leaf_count[: len(counts_all)] = counts_all
+
+    tri_flat = jnp.full(total, -1, jnp.int32)
+    row0 = 0
+    for ids_c, cnt in leaf_chunks:
+        Lg, w = ids_c.shape
+        off = jnp.asarray(leaf_offset[row0 : row0 + Lg].astype(np.int64))
+        cnt_dev = jnp.asarray(cnt.astype(np.int32))
+        lane = jnp.arange(w, dtype=jnp.int32)
+        pos = off[:, None] + lane[None, :]
+        pos = jnp.where(lane[None, :] < cnt_dev[:, None], pos, total)
+        tri_flat = tri_flat.at[pos.reshape(-1)].set(
+            ids_c.reshape(-1), mode="drop"
+        )
+        row0 += Lg
+    leaf_centers = (
+        np.concatenate(leaf_center_chunks)
+        if leaf_center_chunks
+        else np.zeros((max(leaf_counter, 1), 3), np.float32)
+    )
+    if leaf_centers.shape[0] < max(leaf_counter, 1):
+        leaf_centers = np.pad(
+            leaf_centers,
+            [(0, max(leaf_counter, 1) - leaf_centers.shape[0]), (0, 0)],
+        )
+    return octree, leaf_offset, leaf_count, tri_flat, leaf_centers, stats
 
 
 class ExactOctreeSdf(SdfFunction):
@@ -310,44 +567,148 @@ class ExactOctreeSdf(SdfFunction):
 
         soa = calculate_mesh_triangle_data(mesh)
         self.triangles: TriangleDataSoA = jax.tree.map(jnp.asarray, soa)
-        octree, leaf_offset, leaf_count, tri_flat, stats = _build_exact(
-            soa,
-            cbox.min,
-            float(cbox.size[0]),
-            self.max_depth,
-            self.start_depth,
-            self.min_triangles_per_node,
+        octree, leaf_offset, leaf_count, tri_flat, leaf_centers, stats = (
+            _build_exact(
+                soa,
+                cbox.min,
+                float(cbox.size[0]),
+                self.max_depth,
+                self.start_depth,
+                self.min_triangles_per_node,
+            )
         )
         self.octree_data = jnp.asarray(octree)
         self.leaf_offset = jnp.asarray(leaf_offset)
         self.leaf_count = jnp.asarray(leaf_count)
         self.tri_flat = jnp.asarray(tri_flat)
+        self.leaf_centers = jnp.asarray(leaf_centers)
+        self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
+        self._make_buckets()
+
+    # Denormalized field buckets above this byte size fall back to
+    # per-query field gathers (slower, O(T) memory instead of O(slots)).
+    _BUCKET_BYTE_BUDGET = 6 << 30
+
+    def _make_buckets(self):
+        """Denormalized per-bucket triangle ids + packed distance fields
+        (derived from tri_flat ON DEVICE; recomputed on load, never
+        serialized). Buckets are FIELD-MAJOR flat rows (NB, 19*CH): the
+        (slots, 19) triangle-major alternative would be lane-padded
+        19 -> 128 by the TPU tiled layout, a 6.7x HBM blowup. Falls back
+        to id-only buckets when even the flat fields exceed the budget
+        (deep trees with fat equidistant-shell leaves)."""
+        ids = jnp.asarray(self.tri_flat).reshape(-1, _LEAF_CHUNK)
+        self.packed_fields = pack_triangle_fields(self.triangles)
+        self.bucket_ids = ids
+        nf = self.packed_fields.shape[1]
+        nbytes = ids.size * nf * 4
+        if nbytes <= self._BUCKET_BYTE_BUDGET:
+            safe = jnp.maximum(ids, 0)
+            mask = ids >= 0
+            per_field = [
+                jnp.where(mask, self.packed_fields[:, r][safe], 0.0)
+                for r in range(nf)
+            ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
+            self.bucket_fields = jnp.stack(per_field, axis=1).reshape(
+                ids.shape[0], nf * _LEAF_CHUNK
+            )
+        else:
+            self.bucket_fields = None
+
+        # Which leaf owns each bucket, and the min distance from that
+        # leaf's center to the bucket's triangles. Lists are sorted by
+        # center distance, so bucket_cmin is non-decreasing within a leaf
+        # — the query's early-exit bound.
+        offs = np.asarray(self.leaf_offset)
+        cnts = np.asarray(self.leaf_count)
+        spans = (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)).astype(np.int64)
+        bucket_leaf = np.repeat(
+            np.arange(len(offs), dtype=np.int32), spans
+        )[: ids.shape[0]]
+        if len(bucket_leaf) < ids.shape[0]:
+            bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
+        cen_b = jnp.asarray(self.leaf_centers)[jnp.asarray(bucket_leaf)]
+        if self.bucket_fields is not None:
+            bf = self.bucket_fields.reshape(ids.shape[0], nf, _LEAF_CHUNK)
+            field_fn = lambda r: bf[:, r, :]
+        else:
+            safe = jnp.maximum(ids, 0)
+            field_fn = lambda r: self.packed_fields[:, r][safe]
+        sqd = sq_dist_from_field_fn(
+            cen_b[:, 0:1], cen_b[:, 1:2], cen_b[:, 2:3], field_fn
+        )
+        sqd = jnp.where(ids >= 0, sqd, jnp.inf)
+        self.bucket_cmin = jnp.sqrt(jnp.min(sqd, axis=1))
 
     # -- queries ----------------------------------------------------------------
+
+    # Per-call point block: bounds the transient (B, CH, 19) field gather
+    # (~40 MB at 2^15) regardless of query batch size.
+    _QUERY_BLOCK = 1 << 15
 
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
         flat = pts.reshape(-1, 3)
+        P = flat.shape[0]
         max_cnt = int(np.max(np.asarray(self.leaf_count), initial=1))
-        out = _exact_query(
+
+        B = self._QUERY_BLOCK
+        Pp = -(-max(P, 1) // B) * B
+        flat_p = jnp.pad(flat, [(0, Pp - P), (0, 0)])
+
+        leaf_id, in_box = _exact_descent(
             self.octree_data,
-            self.leaf_offset,
-            self.leaf_count,
-            self.tri_flat,
-            self.triangles,
-            flat,
+            flat_p,
             jnp.asarray(self.box.min),
             jnp.float32(self.box.size[0]),
             self.start_grid_size,
             levels=self.max_depth - self.start_depth,
-            max_chunks=-(-max_cnt // _LEAF_CHUNK),
+        )
+        # Leaf-coherent processing: sorting by leaf id lets whole scan
+        # blocks share their leaf's (sorted, early-exiting) chunk count —
+        # incoherent blocks otherwise pay the worst point's chunks.
+        order = jnp.argsort(leaf_id)
+        pts_s = flat_p[order]
+        lid_s = leaf_id[order]
+
+        dense = self.bucket_fields is not None
+        win_parts = []
+        for i in range(0, Pp, B):
+            win_parts.append(
+                _exact_scan(
+                    self.leaf_offset,
+                    self.leaf_count,
+                    self.leaf_centers,
+                    self.bucket_ids,
+                    self.bucket_fields if dense else self.packed_fields,
+                    self.bucket_cmin,
+                    jax.lax.dynamic_slice_in_dim(pts_s, i, B),
+                    jax.lax.dynamic_slice_in_dim(lid_s, i, B),
+                    max_chunks=-(-max_cnt // _LEAF_CHUNK),
+                    dense_buckets=dense,
+                    early_exit=self._sorted_lists,
+                )
+            )
+        win_s = jnp.concatenate(win_parts) if len(win_parts) > 1 else win_parts[0]
+        win_ids = jnp.zeros_like(win_s).at[order].set(win_s)
+
+        out = _exact_finish(
+            self.triangles,
+            flat_p,
+            win_ids,
+            in_box,
+            jnp.asarray(self.box.min),
+            jnp.float32(self.box.size[0]),
             with_gradient=with_gradient,
         )
         if with_gradient:
             d, g = out
-            return d.reshape(pts.shape[:-1]), g.reshape(pts.shape)
-        return out.reshape(pts.shape[:-1])
+            return (
+                d[:P].reshape(pts.shape[:-1]),
+                g[:P].reshape(pts.shape),
+            )
+        return out[:P].reshape(pts.shape[:-1])
 
     def get_distance(self, points):
         return self._query(points, with_gradient=False)
@@ -374,6 +735,7 @@ class ExactOctreeSdf(SdfFunction):
             "leaf_offset": np.asarray(self.leaf_offset, np.int32),
             "leaf_count": np.asarray(self.leaf_count, np.int32),
             "tri_flat": np.asarray(self.tri_flat, np.int32),
+            "leaf_centers": np.asarray(self.leaf_centers, np.float32),
             **{
                 f"tri_{name}": np.asarray(arr, np.float32)
                 for name, arr in self.triangles._asdict().items()
@@ -390,11 +752,23 @@ class ExactOctreeSdf(SdfFunction):
         self.leaf_offset = jnp.asarray(state["leaf_offset"])
         self.leaf_count = jnp.asarray(state["leaf_count"])
         self.tri_flat = jnp.asarray(state["tri_flat"])
+        # Files saved before distance-sorted lists lack leaf_centers; the
+        # early-exit bound is only valid on sorted lists, so disable it.
+        if "leaf_centers" in state:
+            self.leaf_centers = jnp.asarray(state["leaf_centers"])
+            self._sorted_lists = True
+        else:
+            self.leaf_centers = jnp.zeros(
+                (max(int(np.asarray(state["leaf_count"]).shape[0]), 1), 3),
+                jnp.float32,
+            )
+            self._sorted_lists = False
         fields = TriangleDataSoA._fields
         self.triangles = TriangleDataSoA(
             *(jnp.asarray(state[f"tri_{n}"]) for n in fields)
         )
         self.build_stats = {}
+        self._make_buckets()
 
     @classmethod
     def _from_state_arrays(cls, state: dict) -> "ExactOctreeSdf":
