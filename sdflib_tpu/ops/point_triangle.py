@@ -308,7 +308,8 @@ def sq_dist_packed(px, py, pz, fields):
 
 def sq_dist_naive(p, a, b, c):
     """Naive 3-vertex formula (TriangleUtils.h:383-401) — the property-test
-    oracle used by the reference's TriangleDistanceTest."""
+    oracle used by the reference's TriangleDistanceTest. Broadcasts over
+    leading batch dims of p/a/b/c."""
     ba, pa = b - a, p - a
     cb, pb = c - b, p - b
     ac, pc = a - c, p - c
@@ -317,17 +318,17 @@ def sq_dist_naive(p, a, b, c):
     def d2(v):
         return _dot(v, v)
 
+    def edge(e, rel):
+        t = jnp.clip(_dot(e, rel) / d2(e), 0.0, 1.0)
+        return d2(e * t[..., None] - rel)
+
     outside = (
         jnp.sign(_dot(jnp.cross(ba, normal), pa))
         + jnp.sign(_dot(jnp.cross(cb, normal), pb))
         + jnp.sign(_dot(jnp.cross(ac, normal), pc))
     ) < 2.0
     edge_d = jnp.minimum(
-        jnp.minimum(
-            d2(ba * jnp.clip(_dot(ba, pa) / d2(ba), 0.0, 1.0) - pa),
-            d2(cb * jnp.clip(_dot(cb, pb) / d2(cb), 0.0, 1.0) - pb),
-        ),
-        d2(ac * jnp.clip(_dot(ac, pc) / d2(ac), 0.0, 1.0) - pc),
+        jnp.minimum(edge(ba, pa), edge(cb, pb)), edge(ac, pc)
     )
     face_d = _dot(normal, pa) * _dot(normal, pa) / d2(normal)
     return jnp.where(outside, edge_d, face_d)
