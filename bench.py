@@ -2,7 +2,8 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Measures approximate-octree SDF queries/s on the available accelerator
-(the reference's SdfError harness role, src/tools/SdfError/main.cpp:44-97).
+(the reference's SdfError harness role, src/tools/SdfError/main.cpp:44-97),
+with sphere-traced rays/s and exact-octree queries/s in "extra".
 Baseline target: 1e9 exact queries/s on a v5p-8 (4 chips) => 2.5e8 per chip;
 vs_baseline = achieved per-chip rate / per-chip target.
 """
@@ -19,6 +20,8 @@ def main():
     import jax.numpy as jnp
 
     from sdflib_tpu.sdf.octree import OctreeSdf
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.render.sphere_trace import trace_octree
     from sdflib_tpu.utils.primitives import make_icosphere
 
     # Deterministic benchmark mesh (no assets in the image): dense icosphere,
@@ -32,6 +35,7 @@ def main():
         termination_threshold=1e-3, init_algorithm="no_continuity",
     )
     build_s = time.perf_counter() - t0
+    oct_.build_query_grid()  # O(1)-descent acceleration
 
     n = 1 << 22  # 4M query points
     rng = np.random.default_rng(0)
@@ -39,36 +43,67 @@ def main():
     hi = np.asarray(oct_.box.max) - 1e-4
     pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
 
-    # Warmup/compile
+    # ---- approximate octree queries/s (headline) ----------------------------
     d = oct_.get_distance(pts)
     d.block_until_ready()
-
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         d = oct_.get_distance(pts)
     d.block_until_ready()
-    dt = time.perf_counter() - t0
-    qps = iters * n / dt
+    qps = n * iters / (time.perf_counter() - t0)
 
-    per_chip_target = 1e9 / 4.0  # v5p-8 = 4 chips
-    print(
-        json.dumps(
-            {
-                "metric": "octree_sdf_queries_per_s",
-                "value": qps,
-                "unit": "queries/s/chip",
-                "vs_baseline": qps / per_chip_target,
-                "extra": {
-                    "build_s": build_s,
-                    "num_triangles": int(mesh.num_triangles),
-                    "octree_nodes_u32": int(np.asarray(oct_.octree_data).size),
-                    "device": str(jax.devices()[0]),
-                    "query_points": n,
-                },
-            }
-        )
+    # ---- sphere-traced rays/s ------------------------------------------------
+    R = 1024
+    u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
+    gu, gv = np.meshgrid(u, u)
+    origins = np.stack(
+        [gu, gv, np.full_like(gu, -1.2)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    dirs = np.tile([[0.0, 0.0, 1.0]], (R * R, 1)).astype(np.float32)
+    res = trace_octree(oct_, origins, dirs, max_iters=1024)
+    jax.block_until_ready(res.depth)
+    t0 = time.perf_counter()
+    res = trace_octree(oct_, origins, dirs, max_iters=1024)
+    jax.block_until_ready(res.depth)
+    rays_per_s = R * R / (time.perf_counter() - t0)
+
+    # ---- exact octree queries/s ----------------------------------------------
+    del res  # free trace buffers before the exact build
+    t0 = time.perf_counter()
+    # depth 5: the icosphere's equidistant shells make deeper exact trees
+    # pathologically fat (every triangle ~equidistant from interior nodes)
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=5, start_depth=2, min_triangles_per_node=32
     )
+    exact_build_s = time.perf_counter() - t0
+    ne = 1 << 21
+    epts = pts[:ne]
+    de = ex.get_distance(epts)
+    de.block_until_ready()
+    t0 = time.perf_counter()
+    de = ex.get_distance(epts)
+    de.block_until_ready()
+    exact_qps = ne / (time.perf_counter() - t0)
+
+    per_chip_target = 2.5e8  # 1e9 on v5p-8 (4 chips)
+    dev = jax.devices()[0]
+    print(json.dumps({
+        "metric": "octree_sdf_queries_per_s",
+        "value": qps,
+        "unit": "queries/s/chip",
+        "vs_baseline": qps / per_chip_target,
+        "extra": {
+            "exact_octree_queries_per_s": exact_qps,
+            "sphere_trace_rays_per_s": rays_per_s,
+            "build_s": build_s,
+            "exact_build_s": exact_build_s,
+            "num_triangles": int(mesh.indices.size // 3),
+            "octree_words_u32": int(oct_.octree_data.shape[0]),
+            "device": str(getattr(dev, "device_kind", dev)),
+            "query_points": n,
+        },
+    }))
 
 
 if __name__ == "__main__":

@@ -173,12 +173,129 @@ def _layout_is_aligned(
     return False  # deeper than any valid octree: be safe
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid_depth", "num_coeff", "interpolation", "with_gradient"
+    ),
+)
+def _octree_query_grid(
+    octree_u32,
+    grid_u32,        # (2^d^3, 2): [leaf word, leaf depth] per finest cell
+    points,
+    box_min,
+    box_size,
+    min_border_value,
+    *,
+    grid_depth: int,
+    num_coeff: int,
+    interpolation: str,
+    with_gradient: bool,
+):
+    """O(1)-descent query via a dense leaf-id grid at max_depth resolution:
+    the per-point tree walk (OctreeSdf.cpp:108-116) becomes ONE 8-byte row
+    gather — a pure TPU redesign trading HBM for gather count."""
+    pts = points
+    g = 1 << grid_depth
+    rel = (pts - box_min) / box_size            # [0,1) inside the box
+    in_box = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+    cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
+    lin = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]
+
+    row = grid_u32[lin]                          # (..., 2) row gather
+    word = row[..., 0]
+    depth = row[..., 1].astype(jnp.int32)
+
+    # frac within the leaf: p scaled to the leaf's depth
+    scale = jnp.exp2(depth.astype(pts.dtype))
+    f = rel * scale[..., None]
+    frac = f - jnp.floor(f)
+
+    base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
+    shift = 6 if num_coeff == 64 else 3
+    coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
+    coeffs = jax.lax.bitcast_convert_type(coeffs_u32, jnp.float32)
+
+    if interpolation == "tricubic":
+        d_in = tricubic_interpolate(coeffs, frac)
+    else:
+        d_in = trilinear_interpolate(coeffs, frac)
+
+    center = box_min + 0.5 * box_size
+    size3 = jnp.full((3,), box_size, pts.dtype)
+    if with_gradient:
+        if interpolation == "tricubic":
+            g_in = tricubic_gradient(coeffs, frac)
+        else:
+            g_in = trilinear_gradient(coeffs, frac)
+        norm = jnp.sqrt(jnp.sum(g_in * g_in, axis=-1, keepdims=True))
+        g_in = g_in / jnp.maximum(norm, 1e-30)
+        d_out, g_out = box_distance_gradient(pts, center, size3)
+        d = jnp.where(in_box, d_in, d_out + min_border_value)
+        gr = jnp.where(in_box[..., None], g_in, g_out)
+        return d, gr
+    d_out = box_distance(pts, center, size3)
+    return jnp.where(in_box, d_in, d_out + min_border_value)
+
+
+def _build_leaf_grid(
+    octree_np: np.ndarray, start_grid_size: int, max_depth: int
+) -> np.ndarray:
+    """Dense (2^max_depth^3, 2) uint32 grid of [leaf word, leaf depth] —
+    host-side level expansion of the flat octree."""
+    g = 1 << max_depth
+    grid = np.zeros((g, g, g, 2), np.uint32)
+
+    s = start_grid_size
+    start_depth = int(np.log2(s))
+    zi, yi, xi = np.meshgrid(np.arange(s), np.arange(s), np.arange(s),
+                             indexing="ij")
+    coords = np.stack([xi, yi, zi], -1).reshape(-1, 3).astype(np.int64)
+    words = octree_np[: s * s * s]
+    depth = start_depth
+
+    while len(words):
+        is_leaf = (words & IS_LEAF_MASK) != 0
+        # write leaves: each covers a (g >> depth)^3 block of finest cells
+        ls = np.nonzero(is_leaf)[0]
+        if len(ls):
+            b = g >> depth
+            base = coords[ls] * b
+            # vectorized block fill via broadcasting per block offset
+            off = np.arange(b)
+            ox, oy, oz = np.meshgrid(off, off, off, indexing="ij")
+            blk = np.stack([ox, oy, oz], -1).reshape(-1, 3)  # (b^3, 3)
+            cells = base[:, None, :] + blk[None]             # (L, b^3, 3)
+            cx = cells[..., 0].ravel()
+            cy = cells[..., 1].ravel()
+            cz = cells[..., 2].ravel()
+            grid[cz, cy, cx, 0] = np.repeat(words[ls], b**3)
+            grid[cz, cy, cx, 1] = depth
+        # expand inner nodes
+        inner = np.nonzero(~is_leaf)[0]
+        if len(inner) == 0 or depth == max_depth:
+            break
+        bases = (words[inner] & CHILDREN_INDEX_MASK).astype(np.int64)
+        child = np.arange(8)
+        idx = (bases[:, None] + child[None]).reshape(-1)
+        words = octree_np[idx]
+        bits = np.stack([child & 1, (child >> 1) & 1, (child >> 2) & 1], -1)
+        coords = (
+            2 * coords[inner][:, None, :] + bits[None]
+        ).reshape(-1, 3)
+        depth += 1
+    return grid.reshape(-1, 2)
+
+
 class OctreeSdf(SdfFunction):
     """Octree with trilinear/tricubic polynomial leaves.
 
     init_algorithm: "uniform" (subdivide everything, OctreeSdf.h:25),
     "no_continuity" (per-node termination, the default reference path), or
     "continuity" (C0 across leaf faces — see octree_builder_continuity).
+
+    ``build_query_grid()`` enables O(1)-descent queries through a dense
+    leaf-id grid (8 bytes per finest-resolution cell).
     """
 
     def __init__(
@@ -253,6 +370,7 @@ class OctreeSdf(SdfFunction):
         self._fast_layout = _layout_is_aligned(
             result.octree_u32, self.start_grid_size, self.num_coefficients
         )
+        self._query_grid = None
 
     # -- queries --------------------------------------------------------------
 
@@ -260,9 +378,41 @@ class OctreeSdf(SdfFunction):
     def num_coefficients(self) -> int:
         return 64 if self.interpolation == "tricubic" else 8
 
+    def build_query_grid(self) -> None:
+        """Precompute the dense leaf-id grid for O(1)-descent queries
+        (8 bytes x 8^max_depth; requires the aligned fast layout)."""
+        if not self._fast_layout:
+            raise ValueError(
+                "query grid requires the aligned (builder-emitted) layout"
+            )
+        self._query_grid = jnp.asarray(
+            _build_leaf_grid(
+                np.asarray(self.octree_data),
+                self.start_grid_size,
+                self.max_depth,
+            )
+        )
+
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
         flat = pts.reshape(-1, 3)
+        if self._query_grid is not None:
+            out = _octree_query_grid(
+                self.octree_data,
+                self._query_grid,
+                flat,
+                jnp.asarray(self.box.min),
+                jnp.float32(self.box.size[0]),
+                jnp.float32(self.min_border_value),
+                grid_depth=self.max_depth,
+                num_coeff=self.num_coefficients,
+                interpolation=self.interpolation,
+                with_gradient=with_gradient,
+            )
+            if with_gradient:
+                d, g = out
+                return d.reshape(pts.shape[:-1]), g.reshape(pts.shape)
+            return out.reshape(pts.shape[:-1])
         out = _octree_query(
             self.octree_data,
             flat,
@@ -332,6 +482,7 @@ class OctreeSdf(SdfFunction):
             self.start_grid_size,
             self.num_coefficients,
         )
+        self._query_grid = None
 
     @classmethod
     def _from_state_arrays(cls, state: dict) -> "OctreeSdf":

@@ -176,3 +176,32 @@ def test_octree_torus(sphere_real):
     d_oct = np.asarray(oct_.get_distance(pts))
     d_real = np.asarray(real.get_distance(pts))
     assert np.sqrt(np.mean((d_oct - d_real) ** 2)) < 4e-3
+
+
+def test_query_grid_matches_descent(sphere_octree):
+    """The O(1) dense-grid query must agree with the descent query."""
+    import copy
+
+    rng = np.random.default_rng(7)
+    lo = sphere_octree.box.min + 1e-4
+    hi = sphere_octree.box.max - 1e-4
+    pts = rng.uniform(lo, hi, (4096, 3)).astype(np.float32)
+    # add out-of-box points and cell-boundary points
+    pts = np.concatenate([
+        pts,
+        np.array([[5.0, 0, 0], [0, -4, 0]], np.float32),
+        (sphere_octree.box.min
+         + sphere_octree.box.size * np.array([[0.5, 0.25, 0.75]], np.float32)),
+    ])
+
+    d_descent = np.asarray(sphere_octree.get_distance(pts))
+    dd, gd = sphere_octree.get_distance_and_gradient(pts)
+
+    grid_oct = copy.copy(sphere_octree)
+    grid_oct.build_query_grid()
+    d_grid = np.asarray(grid_oct.get_distance(pts))
+    dg, gg = grid_oct.get_distance_and_gradient(pts)
+
+    np.testing.assert_allclose(d_grid, d_descent, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dg), np.asarray(dd), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gd), atol=1e-4)
