@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..sdf.octree import OctreeSdf, _octree_query
+from ..sdf.octree import OctreeSdf, _octree_query, _octree_query_grid
 
 __all__ = ["TraceResult", "sphere_trace", "trace_octree"]
 
@@ -93,9 +93,10 @@ def sphere_trace(
 
 
 @partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
-                                   "max_iters"))
+                                   "max_iters", "grid_depth"))
 def _march_state_jit(
     octree_u32,
+    grid_u32,     # dense leaf grid, or a dummy when grid_depth is None
     state,        # (pos, acc, last_d, active)
     dirs,
     box_min,
@@ -109,11 +110,19 @@ def _march_state_jit(
     num_coeff: int,
     interpolation: str,
     max_iters: int,
+    grid_depth: int | None = None,
 ):
     # The reference shader marches in octree-normalized space with
     # distanceScale = 1/boxSize (RenderSdf.cpp:128). Equivalent here: march
     # in world space and scale eps/far by boxSize.
     def dist_fn(points):
+        if grid_depth is not None:
+            return _octree_query_grid(
+                octree_u32, grid_u32, points, box_min, box_size,
+                min_border_value,
+                grid_depth=grid_depth, num_coeff=num_coeff,
+                interpolation=interpolation, with_gradient=False,
+            )
         return _octree_query(
             octree_u32, points, box_min, box_size, start_grid_size,
             min_border_value,
@@ -194,11 +203,14 @@ def trace_octree(
         jnp.float32(eps),
         jnp.float32(far),
     )
+    grid = getattr(octree, "_query_grid", None)
     statics = dict(
         levels=octree.max_depth - octree.start_depth,
         num_coeff=octree.num_coefficients,
         interpolation=octree.interpolation,
+        grid_depth=octree.max_depth if grid is not None else None,
     )
+    grid_arr = grid if grid is not None else jnp.zeros((1, 2), jnp.uint32)
 
     def march(state, dirs_, iters):
         its, out = [], []
@@ -209,7 +221,7 @@ def trace_octree(
             )
             db = jax.lax.dynamic_slice_in_dim(dirs_, i, B)
             it, new = _march_state_jit(
-                octree.octree_data, blk, db, *common,
+                octree.octree_data, grid_arr, blk, db, *common,
                 max_iters=iters, **statics,
             )
             its.append(it)
@@ -257,7 +269,8 @@ def trace_octree(
     eps_w = eps * float(octree.box.size[0])
     hit = last_d <= eps_w
     normal = _trace_normals_jit(
-        octree.octree_data, pos, *common[:4], **statics
+        octree.octree_data, pos, *common[:4],
+        **{k: v for k, v in statics.items() if k != "grid_depth"},
     )
     res = TraceResult(hit, pos, acc, normal, iters_used)
     return jax.tree.map(
