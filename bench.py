@@ -22,11 +22,13 @@ def main():
     from sdflib_tpu.sdf.octree import OctreeSdf
     from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
     from sdflib_tpu.render.sphere_trace import trace_octree
-    from sdflib_tpu.utils.primitives import make_icosphere
+    from sdflib_tpu.utils.primitives import make_torus
 
-    # Deterministic benchmark mesh (no assets in the image): dense icosphere,
-    # ~20k triangles.
-    mesh = make_icosphere(subdivisions=5, radius=0.35)
+    # Deterministic benchmark mesh (no assets in the image): dense torus,
+    # ~9k triangles. (An icosphere is pathological for EXACT octrees: all
+    # triangles are equidistant from interior cells, so the true influence
+    # sets there contain the whole mesh.)
+    mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
     box = mesh.bounding_box.add_margin(0.14)
 
     t0 = time.perf_counter()
@@ -70,11 +72,11 @@ def main():
 
     # ---- exact octree queries/s ----------------------------------------------
     del res  # free trace buffers before the exact build
+    octree_words = int(oct_.octree_data.shape[0])
+    del oct_  # free approx structures (grid + tree) before the exact build
     t0 = time.perf_counter()
-    # depth 5: the icosphere's equidistant shells make deeper exact trees
-    # pathologically fat (every triangle ~equidistant from interior nodes)
     ex = ExactOctreeSdf(
-        mesh, box, max_depth=5, start_depth=2, min_triangles_per_node=32
+        mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
     )
     exact_build_s = time.perf_counter() - t0
     ne = 1 << 21
@@ -99,7 +101,7 @@ def main():
             "build_s": build_s,
             "exact_build_s": exact_build_s,
             "num_triangles": int(mesh.indices.size // 3),
-            "octree_words_u32": int(oct_.octree_data.shape[0]),
+            "octree_words_u32": octree_words,
             "device": str(getattr(dev, "device_kind", dev)),
             "query_points": n,
         },

@@ -314,7 +314,7 @@ def _build_exact(
     max_depth: int,
     start_depth: int,
     min_triangles_per_node: int,
-    pair_budget: int = 1 << 22,
+    pair_budget: int = 1 << 21,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
     stats).
@@ -588,7 +588,7 @@ class ExactOctreeSdf(SdfFunction):
 
     # Denormalized field buckets above this byte size fall back to
     # per-query field gathers (slower, O(T) memory instead of O(slots)).
-    _BUCKET_BYTE_BUDGET = 6 << 30
+    _BUCKET_BYTE_BUDGET = 4 << 30
 
     def _make_buckets(self):
         """Denormalized per-bucket triangle ids + packed distance fields
@@ -629,17 +629,29 @@ class ExactOctreeSdf(SdfFunction):
         if len(bucket_leaf) < ids.shape[0]:
             bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
         cen_b = jnp.asarray(self.leaf_centers)[jnp.asarray(bucket_leaf)]
-        if self.bucket_fields is not None:
-            bf = self.bucket_fields.reshape(ids.shape[0], nf, _LEAF_CHUNK)
-            field_fn = lambda r: bf[:, r, :]
-        else:
-            safe = jnp.maximum(ids, 0)
-            field_fn = lambda r: self.packed_fields[:, r][safe]
-        sqd = sq_dist_from_field_fn(
-            cen_b[:, 0:1], cen_b[:, 1:2], cen_b[:, 2:3], field_fn
+        # chunk over bucket rows: the distance eval holds ~25 (C, CH)
+        # temporaries, so a full-NB sweep would transiently eat several GB
+        C = 1 << 17
+        parts = []
+        for i in range(0, ids.shape[0], C):
+            ids_c = ids[i : i + C]
+            cen_c = cen_b[i : i + C]
+            if self.bucket_fields is not None:
+                bf = self.bucket_fields[i : i + C].reshape(
+                    ids_c.shape[0], nf, _LEAF_CHUNK
+                )
+                field_fn = lambda r: bf[:, r, :]
+            else:
+                safe = jnp.maximum(ids_c, 0)
+                field_fn = lambda r: self.packed_fields[:, r][safe]
+            sqd = sq_dist_from_field_fn(
+                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
+            )
+            sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
+            parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
+        self.bucket_cmin = (
+            jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         )
-        sqd = jnp.where(ids >= 0, sqd, jnp.inf)
-        self.bucket_cmin = jnp.sqrt(jnp.min(sqd, axis=1))
 
     # -- queries ----------------------------------------------------------------
 
