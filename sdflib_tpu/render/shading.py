@@ -13,8 +13,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["normal_color", "shade_lambert", "ambient_occlusion", "soft_shadow",
-           "iteration_heatmap"]
+__all__ = ["normal_color", "shade_lambert", "shade_pbr", "ambient_occlusion",
+           "soft_shadow", "iteration_heatmap"]
 
 # 5-color heatmap palette used by the reference compute shader for
 # iteration/step visualization (sdfOctreeRender.comp:410-427).
@@ -78,6 +78,78 @@ def shade_lambert(
     col = col + spec[..., None]
     bg = jnp.asarray(background, jnp.float32)
     return jnp.clip(jnp.where(hit[..., None], col, bg), 0.0, 1.0)
+
+
+def _normalize(v):
+    return v / jnp.maximum(
+        jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True)), 1e-9
+    )
+
+
+def shade_pbr(
+    position,
+    normal,
+    hit,
+    view_dir,
+    light_dir=(0.577, 0.577, 0.577),
+    light_color=(1.0, 1.0, 1.0),
+    base_color=(0.8, 0.75, 0.7),
+    metallic=0.0,
+    roughness=0.45,
+    ambient=0.22,
+    ao=None,
+    shadow=None,
+    background=(0.9, 0.9, 0.9),
+):
+    """Cook-Torrance microfacet shading (GGX distribution, Smith geometry,
+    Fresnel-Schlick) — the reference compute shader's mapColor pipeline
+    (sdfOctreeRender.comp:82-121 BRDF terms, :329-389 composition)."""
+    n = normal
+    v = _normalize(-jnp.asarray(view_dir, jnp.float32))
+    l = jnp.asarray(light_dir, jnp.float32)
+    l = l / jnp.sqrt(jnp.sum(l * l))
+    h = _normalize(l + v)
+
+    albedo = jnp.asarray(base_color, jnp.float32)
+    lc = jnp.asarray(light_color, jnp.float32)
+    ndotl = jnp.maximum(jnp.sum(n * l, axis=-1), 0.0)
+    ndotv = jnp.maximum(jnp.sum(n * v, axis=-1), 1e-4)
+    ndoth = jnp.maximum(jnp.sum(n * h, axis=-1), 0.0)
+    hdotv = jnp.maximum(jnp.sum(h * v, axis=-1), 0.0)
+
+    # GGX normal distribution (comp shader DistributionGGX)
+    a = roughness * roughness
+    a2 = a * a
+    denom = ndoth * ndoth * (a2 - 1.0) + 1.0
+    D = a2 / jnp.maximum(jnp.pi * denom * denom, 1e-9)
+
+    # Smith geometry with Schlick-GGX (comp shader GeometrySmith)
+    k = (roughness + 1.0) ** 2 / 8.0
+    g1 = ndotv / (ndotv * (1.0 - k) + k)
+    g2 = ndotl / jnp.maximum(ndotl * (1.0 - k) + k, 1e-9)
+    G = g1 * g2
+
+    # Fresnel-Schlick (comp shader fresnelSchlick)
+    f0 = 0.04 * (1.0 - metallic) + metallic  # scalar workflow
+    F = f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - hdotv, 0.0, 1.0), 5.0)
+
+    spec = (D * G * F) / jnp.maximum(4.0 * ndotv * ndotl, 1e-4)
+    kd = (1.0 - F) * (1.0 - metallic)
+
+    radiance = ndotl
+    if shadow is not None:
+        radiance = radiance * shadow
+    direct = (
+        kd[..., None] * albedo / jnp.pi + spec[..., None]
+    ) * lc * radiance[..., None]
+
+    amb = ambient if ao is None else ambient * ao[..., None]
+    col = amb * albedo + direct
+    # simple tonemap + gamma (comp shader :443-445)
+    col = col / (col + 1.0)
+    col = jnp.power(jnp.clip(col, 0.0, 1.0), 1.0 / 2.2)
+    bg = jnp.asarray(background, jnp.float32)
+    return jnp.where(hit[..., None], col, bg)
 
 
 def ambient_occlusion(distance_fn, position, normal, *, taps: int = 8):

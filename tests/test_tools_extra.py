@@ -74,3 +74,14 @@ def test_exact_mean_triangles_heatmap(containers, capsys):
     assert rc == 0
     assert os.path.exists(png) and os.path.getsize(png) > 100
     assert "mean_tris_per_leaf" in capsys.readouterr().out
+
+
+def test_sdf_light_renders(containers):
+    from sdflib_tpu.tools import sdf_light
+
+    d, oct_path, _ = containers
+    png = str(d / "lit.png")
+    rc = sdf_light.main([oct_path, png, "--width", "64", "--height", "64",
+                         "--max_iters", "96"])
+    assert rc == 0
+    assert os.path.exists(png) and os.path.getsize(png) > 400
