@@ -8,13 +8,19 @@ over chips, SDF structures (flat arrays) are replicated when they fit,
 and coefficient gradients all-reduce over ICI — all expressed with
 jax.sharding + jit, letting XLA insert the collectives.
 """
-from .mesh import default_mesh, replicated, sharded_rays
+from .mesh import (
+    default_mesh,
+    initialize_distributed,
+    replicated,
+    sharded_rays,
+)
 from .query import sharded_distance, sharded_distance_and_gradient
 from .render import sharded_trace
 from .fit import data_parallel_fit_step
 
 __all__ = [
     "default_mesh",
+    "initialize_distributed",
     "replicated",
     "sharded_rays",
     "sharded_distance",

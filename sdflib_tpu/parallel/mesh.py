@@ -5,9 +5,27 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["default_mesh", "sharded_rays", "replicated", "RAY_AXIS"]
+__all__ = [
+    "default_mesh",
+    "sharded_rays",
+    "replicated",
+    "initialize_distributed",
+    "RAY_AXIS",
+]
 
 RAY_AXIS = "rays"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with the framework's
+    defaults (SURVEY.md S5.8 — one global mesh, ICI for intra-slice
+    collectives, DCN across hosts). Call once per process before building
+    meshes; on single-host setups it is a no-op."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process without coordinator config
+        pass
 
 
 def default_mesh(devices=None) -> Mesh:
