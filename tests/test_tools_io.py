@@ -126,3 +126,40 @@ def test_bad_rule_cli(mesh_file, tmp_path, capsys):
     )
     assert rc == 1
     assert "unknown termination_rule" in capsys.readouterr().err
+
+
+def test_exact_octree_bin_roundtrip(tmp_path):
+    """EXACT_OCTREE .bin encode -> decode: the bit-encoded container
+    (ExactOctreeSdf.h:138-165) must reproduce identical distances."""
+    import numpy as np
+
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin, save_sdflib_bin
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.utils.primitives import make_icosphere
+
+    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(mesh, box, max_depth=4, start_depth=1,
+                        min_triangles_per_node=32)
+
+    path = str(tmp_path / "exact.bin")
+    save_sdflib_bin(ex, path)
+    loaded = load_sdflib_bin(path)
+    assert isinstance(loaded, ExactOctreeSdf)
+    assert not loaded._sorted_lists  # early exit must be off on .bin lists
+
+    # per-leaf triangle SETS must match (order differs: ours are
+    # distance-sorted, the container index-sorted)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4,
+                      (4096, 3)).astype(np.float32)
+    pts = np.concatenate([pts, np.array([[6.0, 0, 0]], np.float32)])
+    d0 = np.asarray(ex.get_distance(pts))
+    d1 = np.asarray(loaded.get_distance(pts))
+    np.testing.assert_allclose(d0, d1, atol=1e-6)
+
+    # triangle data reconstruction (v_world recovered via the transform)
+    np.testing.assert_allclose(
+        np.asarray(loaded.triangles.v_world),
+        np.asarray(ex.triangles.v_world), atol=1e-5,
+    )
