@@ -15,10 +15,13 @@ import jax as _jax
 # Persistent XLA compilation cache: octree builds compile one kernel per
 # (chunk, candidate-width) bucket; re-runs must not pay the (remote) TPU
 # compile latency again. Opt out with SDFLIB_TPU_NO_COMPILE_CACHE=1.
-# CPU is excluded: XLA:CPU AOT cache entries embed machine features and can
-# SIGILL when reloaded on a host with different feature detection.
-if not _os.environ.get("SDFLIB_TPU_NO_COMPILE_CACHE") and (
-    _os.environ.get("JAX_PLATFORMS", "") != "cpu"
+# Enabled only when the environment explicitly selects a non-CPU platform:
+# XLA:CPU AOT cache entries embed machine features and can SIGILL when
+# reloaded on a host with different feature detection, and an unset
+# JAX_PLATFORMS may auto-select CPU.
+_platform = _os.environ.get("JAX_PLATFORMS", "")
+if not _os.environ.get("SDFLIB_TPU_NO_COMPILE_CACHE") and _platform not in (
+    "", "cpu"
 ):
     try:
         if _jax.config.jax_compilation_cache_dir is None:

@@ -23,6 +23,7 @@ from ..ops.interpolation import (
     trilinear_gradient,
     trilinear_interpolate,
 )
+from ..sdf.octree import _select8
 from ..sdf.octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK
 
 __all__ = ["octree_query_diff", "octree_coefficients"]
@@ -31,12 +32,6 @@ __all__ = ["octree_query_diff", "octree_coefficients"]
 def octree_coefficients(octree_u32) -> jax.Array:
     """Float32 view of the flat octree array, the trainable parameter."""
     return jax.lax.bitcast_convert_type(jnp.asarray(octree_u32), jnp.float32)
-
-
-def _select8_u32(rows, lane):
-    """In-row 8-way select on the VPU (see sdf.octree._select8)."""
-    oh = lane[..., None] == jnp.arange(8, dtype=lane.dtype)
-    return jnp.sum(jnp.where(oh, rows, jnp.zeros_like(rows)), axis=-1)
 
 
 @partial(
@@ -82,7 +77,7 @@ def octree_query_diff(
 
     if fast:
         view8 = octree_u32.reshape(-1, 8)
-        word = _select8_u32(
+        word = _select8(
             view8[node_idx >> 3], (node_idx & 7).astype(jnp.uint32)
         )
     else:
@@ -99,7 +94,7 @@ def octree_query_diff(
         )
         base = word & cidx_mask
         if fast:
-            nxt = _select8_u32(view8[(base >> 3).astype(jnp.int32)], child)
+            nxt = _select8(view8[(base >> 3).astype(jnp.int32)], child)
         else:
             nxt = octree_u32[base + child]
         nfrac = 2.0 * frac - jax.lax.stop_gradient(jnp.floor(2.0 * frac))

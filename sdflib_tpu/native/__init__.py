@@ -29,16 +29,19 @@ def build_native_library(force: bool = False) -> str:
         if force or not os.path.exists(_SO) or (
             os.path.getmtime(_SO) < os.path.getmtime(_SRC)
         ):
-            cmd = [
-                "g++", "-O2", "-shared", "-fPIC", "-fopenmp",
-                "-o", _SO, _SRC,
-            ]
+            # build into a process-unique temp file + atomic rename so
+            # concurrent builders (pytest-xdist workers) never dlopen a
+            # half-written library
+            tmp = f"{_SO}.{os.getpid()}.tmp"
+            cmd = ["g++", "-O2", "-shared", "-fPIC", "-fopenmp",
+                   "-o", tmp, _SRC]
             try:
                 subprocess.run(cmd, check=True, capture_output=True)
             except subprocess.CalledProcessError:
                 # retry without OpenMP (minimal toolchains)
                 cmd.remove("-fopenmp")
                 subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _SO)
     return _SO
 
 

@@ -15,40 +15,50 @@ import jax.numpy as jnp
 from ..diff.query import octree_query_diff
 from .mesh import default_mesh, pad_to_shards, replicated, sharded_rays
 
-__all__ = ["data_parallel_fit_step", "make_fit_step"]
+__all__ = ["data_parallel_fit_step", "fit_step"]
 
 
-def make_fit_step(
+@partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "num_coeff", "interpolation", "fast", "start_grid_size"
+    ),
+)
+def fit_step(
     octree_u32,
+    coeffs,
+    points,
+    targets,
+    weights,
     box_min,
     box_size,
-    start_grid_size,
     min_border_value,
+    lr,
     *,
+    start_grid_size: int,
     levels: int,
     num_coeff: int = 64,
     interpolation: str = "tricubic",
-    lr: float = 1e-2,
     fast: bool = True,
 ):
-    """A jitted (coeffs, points, targets) -> (loss, new_coeffs) SGD step
-    on the leaf polynomial coefficients."""
+    """One weighted-MSE SGD step on the leaf polynomial coefficients.
 
-    def loss_fn(coeffs, points, targets):
+    Module-level jit: repeat calls with the same shapes/statics reuse the
+    compiled step (a per-call closure would retrace every iteration).
+    ``weights`` masks padding points so they contribute zero gradient."""
+
+    def loss_fn(c):
         d = octree_query_diff(
-            octree_u32, coeffs, points, box_min, box_size,
+            octree_u32, c, points, box_min, box_size,
             start_grid_size, min_border_value,
             levels=levels, num_coeff=num_coeff,
             interpolation=interpolation, fast=fast,
         )
-        return jnp.mean(jnp.square(d - targets))
+        n = jnp.maximum(jnp.sum(weights), 1.0)
+        return jnp.sum(weights * jnp.square(d - targets)) / n
 
-    @jax.jit
-    def step(coeffs, points, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(coeffs, points, targets)
-        return loss, coeffs - lr * grads
-
-    return step
+    loss, grads = jax.value_and_grad(loss_fn)(coeffs)
+    return loss, coeffs - lr * grads
 
 
 def data_parallel_fit_step(
@@ -58,7 +68,7 @@ def data_parallel_fit_step(
 
     points/targets shard over chips, coeffs replicate; returns
     (loss, new_coeffs) with new_coeffs replicated (XLA all-reduces the
-    gradient)."""
+    gradient). Padding points carry zero weight."""
     mesh = default_mesh() if mesh is None else mesh
     rep = replicated(mesh)
     rays = sharded_rays(mesh)
@@ -67,29 +77,25 @@ def data_parallel_fit_step(
     tgt = jnp.asarray(targets, jnp.float32).reshape(-1)
     P = pts.shape[0]
     Pp = pad_to_shards(P, mesh)
-    # padding rays contribute zero target error at the box center
+    weights = (jnp.arange(Pp) < P).astype(jnp.float32)
     if Pp != P:
         center = jnp.asarray(octree.box.center, jnp.float32)
-        pts = jnp.concatenate(
-            [pts, jnp.broadcast_to(center, (Pp - P, 3))]
-        )
-        d_pad = octree.get_distance(center[None])[0]
-        tgt = jnp.concatenate([tgt, jnp.full(Pp - P, d_pad)])
+        pts = jnp.concatenate([pts, jnp.broadcast_to(center, (Pp - P, 3))])
+        tgt = jnp.concatenate([tgt, jnp.zeros(Pp - P, jnp.float32)])
 
-    step = make_fit_step(
+    return fit_step(
         jax.device_put(octree.octree_data, rep),
+        jax.device_put(jnp.asarray(coeffs), rep),
+        jax.device_put(pts, rays),
+        jax.device_put(tgt, rays),
+        jax.device_put(weights, rays),
         jnp.asarray(octree.box.min),
         jnp.float32(octree.box.size[0]),
-        octree.start_grid_size,
         jnp.float32(octree.min_border_value),
+        jnp.float32(lr),
+        start_grid_size=octree.start_grid_size,
         levels=octree.max_depth - octree.start_depth,
         num_coeff=octree.num_coefficients,
         interpolation=octree.interpolation,
-        lr=lr,
         fast=octree._fast_layout,
     )
-    coeffs = jax.device_put(jnp.asarray(coeffs), rep)
-    pts = jax.device_put(pts, rays)
-    tgt = jax.device_put(tgt, rays)
-    loss, new_coeffs = step(coeffs, pts, tgt)
-    return loss, new_coeffs

@@ -93,7 +93,7 @@ def sphere_trace(
 
 
 @partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
-                                   "max_iters", "grid_depth"))
+                                   "max_iters", "grid_depth", "fast"))
 def _march_state_jit(
     octree_u32,
     grid_u32,     # dense leaf grid, or a dummy when grid_depth is None
@@ -111,6 +111,7 @@ def _march_state_jit(
     interpolation: str,
     max_iters: int,
     grid_depth: int | None = None,
+    fast: bool = True,
 ):
     # The reference shader marches in octree-normalized space with
     # distanceScale = 1/boxSize (RenderSdf.cpp:128). Equivalent here: march
@@ -127,7 +128,7 @@ def _march_state_jit(
             octree_u32, points, box_min, box_size, start_grid_size,
             min_border_value,
             levels=levels, num_coeff=num_coeff, interpolation=interpolation,
-            with_gradient=False,
+            with_gradient=False, fast=fast,
         )
 
     it, state = sphere_trace_state(
@@ -137,15 +138,16 @@ def _march_state_jit(
     return it, state
 
 
-@partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation"))
+@partial(jax.jit,
+         static_argnames=("levels", "num_coeff", "interpolation", "fast"))
 def _trace_normals_jit(
     octree_u32, pos, box_min, box_size, start_grid_size, min_border_value,
-    *, levels: int, num_coeff: int, interpolation: str,
+    *, levels: int, num_coeff: int, interpolation: str, fast: bool = True,
 ):
     _, normal = _octree_query(
         octree_u32, pos, box_min, box_size, start_grid_size, min_border_value,
         levels=levels, num_coeff=num_coeff, interpolation=interpolation,
-        with_gradient=True,
+        with_gradient=True, fast=fast,
     )
     return normal
 
@@ -209,6 +211,7 @@ def trace_octree(
         num_coeff=octree.num_coefficients,
         interpolation=octree.interpolation,
         grid_depth=octree.max_depth if grid is not None else None,
+        fast=octree._fast_layout,
     )
     grid_arr = grid if grid is not None else jnp.zeros((1, 2), jnp.uint32)
 

@@ -748,6 +748,7 @@ class ExactOctreeSdf(SdfFunction):
             "leaf_count": np.asarray(self.leaf_count, np.int32),
             "tri_flat": np.asarray(self.tri_flat, np.int32),
             "leaf_centers": np.asarray(self.leaf_centers, np.float32),
+            "sorted_lists": np.bool_(self._sorted_lists),
             **{
                 f"tri_{name}": np.asarray(arr, np.float32)
                 for name, arr in self.triangles._asdict().items()
@@ -764,17 +765,21 @@ class ExactOctreeSdf(SdfFunction):
         self.leaf_offset = jnp.asarray(state["leaf_offset"])
         self.leaf_count = jnp.asarray(state["leaf_count"])
         self.tri_flat = jnp.asarray(state["tri_flat"])
-        # Files saved before distance-sorted lists lack leaf_centers; the
-        # early-exit bound is only valid on sorted lists, so disable it.
+        # The early-exit bound is only valid on distance-sorted lists.
+        # sorted_lists is explicit in new saves; legacy builder saves carry
+        # leaf_centers (implying sorted), anything else is unsorted (e.g.
+        # structures re-saved after a reference .bin import).
+        if "sorted_lists" in state:
+            self._sorted_lists = bool(state["sorted_lists"])
+        else:
+            self._sorted_lists = "leaf_centers" in state
         if "leaf_centers" in state:
             self.leaf_centers = jnp.asarray(state["leaf_centers"])
-            self._sorted_lists = True
         else:
             self.leaf_centers = jnp.zeros(
                 (max(int(np.asarray(state["leaf_count"]).shape[0]), 1), 3),
                 jnp.float32,
             )
-            self._sorted_lists = False
         fields = TriangleDataSoA._fields
         self.triangles = TriangleDataSoA(
             *(jnp.asarray(state[f"tri_{n}"]) for n in fields)

@@ -338,7 +338,13 @@ def build_octree_continuity(
     def _continuity_pass(depth, sub_idx, coords, centers, half, mids):
         """Clamp midpoint samples shared with terminated leaves; queue
         offending leaves for re-subdivision. Mutates ``mids`` in place and
-        returns registry row indices to re-open."""
+        returns registry row indices to re-open.
+
+        Known limitation: the neighbor lookup walks ANCESTORS only, so a
+        re-opened node processed after its original level cannot see
+        terminated leaves DEEPER than itself (the reference's re-subdivision
+        pass has the same asymmetry); any missed clamp stays within the
+        termination error bound."""
         M = len(sub_idx)
         if M == 0:
             return np.zeros(0, np.int64)

@@ -163,3 +163,67 @@ def test_exact_octree_bin_roundtrip(tmp_path):
         np.asarray(loaded.triangles.v_world),
         np.asarray(ex.triangles.v_world), atol=1e-5,
     )
+
+
+def test_imported_exact_npz_roundtrip_keeps_early_exit_off(tmp_path):
+    """A .bin-imported exact octree (index-ordered lists) saved to .npz and
+    reloaded must NOT enable the sorted-list early exit."""
+    import numpy as np
+
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin, save_sdflib_bin
+    from sdflib_tpu.sdf import SdfFunction
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.utils.primitives import make_torus
+
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.1)
+    ex = ExactOctreeSdf(mesh, box, max_depth=4, start_depth=1,
+                        min_triangles_per_node=32)
+    binp = str(tmp_path / "e.bin")
+    save_sdflib_bin(ex, binp)
+    imported = load_sdflib_bin(binp)
+    assert not imported._sorted_lists
+
+    npzp = str(tmp_path / "e.npz")
+    imported.save(npzp)
+    reloaded = SdfFunction.load(npzp)
+    assert not reloaded._sorted_lists  # must stay off: lists are unsorted
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4,
+                      (2048, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.get_distance(pts)),
+        np.asarray(ex.get_distance(pts)),
+        atol=1e-6,
+    )
+
+
+def test_trace_bin_imported_octree(tmp_path):
+    """Sphere tracing a reference-layout (.bin) octree must take the
+    layout-agnostic query path, not crash or fetch garbage coefficients."""
+    import numpy as np
+
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin, save_sdflib_bin
+    from sdflib_tpu.render.sphere_trace import trace_octree
+    from sdflib_tpu.sdf.octree import OctreeSdf
+    from sdflib_tpu.utils.primitives import make_icosphere
+
+    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    box = mesh.bounding_box.add_margin(0.14)
+    oct_ = OctreeSdf(mesh, box, max_depth=4, start_depth=1)
+    binp = str(tmp_path / "o.bin")
+    save_sdflib_bin(oct_, binp)
+    imported = load_sdflib_bin(binp)
+    # imported arrays keep our aligned layout, so force the foreign path
+    imported._fast_layout = False
+
+    n = 256
+    origins = np.tile([[0.0, 0.0, -1.2]], (n, 1)).astype(np.float32)
+    dirs = np.tile([[0.0, 0.0, 1.0]], (n, 1)).astype(np.float32)
+    r0 = trace_octree(oct_, origins, dirs, max_iters=128)
+    r1 = trace_octree(imported, origins, dirs, max_iters=128)
+    np.testing.assert_array_equal(np.asarray(r0.hit), np.asarray(r1.hit))
+    np.testing.assert_allclose(
+        np.asarray(r0.depth), np.asarray(r1.depth), atol=1e-6
+    )
