@@ -89,9 +89,12 @@ def test_depth_fit_converges(octree):
         octree.octree_data, coeffs0, origins, dirs, *args.values(), **kw
     )
 
+    # Noise scale matters: much larger flips silhouette pixels' hit masks
+    # (discontinuous loss), much smaller drops the loss toward the fp32
+    # noise floor where the Newton-correction gradient is unreliable.
     rng = np.random.default_rng(1)
     noise = jnp.asarray(
-        rng.normal(0, 2e-3, coeffs0.shape).astype(np.float32)
+        rng.normal(0, 1e-3, coeffs0.shape).astype(np.float32)
     )
     coeffs = coeffs0 + noise
 
@@ -110,7 +113,7 @@ def test_depth_fit_converges(octree):
     m = jnp.zeros_like(coeffs)
     v = jnp.zeros_like(coeffs)
     lr, b1, b2, eps_a = 2e-4, 0.9, 0.999, 1e-9
-    for i in range(1, 51):
+    for i in range(1, 61):
         _, g = loss_grad(coeffs)
         m = b1 * m + (1 - b1) * g
         v = b2 * v + (1 - b2) * g * g
