@@ -1,11 +1,13 @@
 """Benchmark harness. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Measures approximate-octree SDF queries/s on the available accelerator
-(the reference's SdfError harness role, src/tools/SdfError/main.cpp:44-97),
-with sphere-traced rays/s and exact-octree queries/s in "extra".
+Measures EXACT-octree SDF queries/s — the project's headline metric — on
+the available accelerator (the reference's SdfError harness role,
+src/tools/SdfError/main.cpp:44-97), with approximate-octree queries/s,
+sphere-traced rays/s, and build times in "extra" (each perf rate with its
+own labeled vs-target ratio).
 Baseline target: 1e9 exact queries/s on a v5p-8 (4 chips) => 2.5e8 per chip;
-vs_baseline = achieved per-chip rate / per-chip target.
+vs_baseline = achieved per-chip exact rate / per-chip target.
 """
 from __future__ import annotations
 
@@ -88,16 +90,19 @@ def main():
     de.block_until_ready()
     exact_qps = ne / (time.perf_counter() - t0)
 
-    per_chip_target = 2.5e8  # 1e9 on v5p-8 (4 chips)
+    per_chip_target = 2.5e8       # 1e9 exact q/s on v5p-8 (4 chips)
+    rays_chip_target = 2.5e7      # 1e8 rays/s on v5p-8 (4 chips)
     dev = jax.devices()[0]
     print(json.dumps({
-        "metric": "octree_sdf_queries_per_s",
-        "value": qps,
+        "metric": "exact_octree_queries_per_s",
+        "value": exact_qps,
         "unit": "queries/s/chip",
-        "vs_baseline": qps / per_chip_target,
+        "vs_baseline": exact_qps / per_chip_target,
         "extra": {
-            "exact_octree_queries_per_s": exact_qps,
+            "approx_octree_queries_per_s": qps,
+            "approx_vs_target": qps / per_chip_target,
             "sphere_trace_rays_per_s": rays_per_s,
+            "rays_vs_target": rays_per_s / rays_chip_target,
             "build_s": build_s,
             "exact_build_s": exact_build_s,
             "num_triangles": int(mesh.indices.size // 3),

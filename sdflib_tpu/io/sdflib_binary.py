@@ -29,8 +29,8 @@ implementation are interchangeable:
                 (ExactOctreeSdf.h:138-199)
 
 EXACT_OCTREE import decodes the bit encoding into this framework's flat
-leaf lists (decode semantics: ExactOctreeSdf.cpp:70-175). Export of the
-bit encoding is not yet implemented — use the native .npz container.
+leaf lists (decode semantics: ExactOctreeSdf.cpp:70-175); export re-encodes
+flat lists into the two-tier bit encoding (_save_exact_bin below).
 """
 from __future__ import annotations
 

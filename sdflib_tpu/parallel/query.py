@@ -8,6 +8,8 @@ mapping demanded by SURVEY.md S5.7 / BASELINE north star).
 """
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,8 +20,11 @@ __all__ = ["sharded_distance", "sharded_distance_and_gradient"]
 
 
 def _device_put_structure(sdf, mesh):
-    """Replicate the SDF's device arrays onto every chip of the mesh."""
+    """Return a shallow copy of the SDF whose device arrays are replicated
+    onto every chip of the mesh. The caller's object is never mutated —
+    queries through this module leave single-chip placement intact."""
     rep = replicated(mesh)
+    out = copy.copy(sdf)
     for name in (
         "octree_data",
         "leaf_offset",
@@ -31,14 +36,15 @@ def _device_put_structure(sdf, mesh):
         "packed_fields",
         "grid_values",
     ):
-        arr = getattr(sdf, name, None)
+        arr = getattr(out, name, None)
         if isinstance(arr, jax.Array):
-            setattr(sdf, name, jax.device_put(arr, rep))
-    tris = getattr(sdf, "triangles", None)
+            setattr(out, name, jax.device_put(arr, rep))
+    tris = getattr(out, "triangles", None)
     if tris is not None:
-        sdf.triangles = jax.tree.map(
+        out.triangles = jax.tree.map(
             lambda a: jax.device_put(jnp.asarray(a), rep), tris
         )
+    return out
 
 
 def _shard_points(points, mesh):
@@ -53,16 +59,16 @@ def _shard_points(points, mesh):
 def sharded_distance(sdf, points, mesh=None):
     """Distances for a point batch sharded over the mesh's chips."""
     mesh = default_mesh() if mesh is None else mesh
-    _device_put_structure(sdf, mesh)
+    rep = _device_put_structure(sdf, mesh)
     flat, shape, P_ = _shard_points(points, mesh)
-    d = sdf.get_distance(flat)
+    d = rep.get_distance(flat)
     return d[:P_].reshape(shape[:-1])
 
 
 def sharded_distance_and_gradient(sdf, points, mesh=None):
     """Distances + gradients, points sharded over the mesh's chips."""
     mesh = default_mesh() if mesh is None else mesh
-    _device_put_structure(sdf, mesh)
+    rep = _device_put_structure(sdf, mesh)
     flat, shape, P_ = _shard_points(points, mesh)
-    d, g = sdf.get_distance_and_gradient(flat)
+    d, g = rep.get_distance_and_gradient(flat)
     return d[:P_].reshape(shape[:-1]), g[:P_].reshape(shape)
