@@ -1,0 +1,192 @@
+"""Cross-implementation parity vs the COMPILED reference kernels.
+
+The golden files in tests/golden/data/ are produced by gen_golden.cpp,
+which compiles the reference's own scalar kernels (TriangleUtils.h,
+InterpolationMethods.h, the OctreeSdf.cpp:93-152 walk) from
+/root/reference — see tests/golden/make_goldens.py. Unlike the rest of the
+suite (which checks against this repo's own RealSdf oracle), these tests
+anchor every parity claim to C++-computed values:
+
+  * brute-force signed distance + gradient on 100k samples x 3 meshes
+    (icosphere, torus, a non-manifold fin mesh exercising the reference's
+    vertex-merge path, TriangleUtils.cpp:292-420);
+  * TriangleData precompute (frames, b/c edges, pseudonormals);
+  * tricubic fit -> value/gradient on random corner data;
+  * the octree descent walk over a shared .bin structure;
+  * a C++-WRITTEN .bin parsed by io/sdflib_binary.py.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+DATA = os.path.join(os.path.dirname(__file__), "golden", "data")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="golden data not generated"
+)
+
+
+def _regen_meshes():
+    """Rebuild the same procedural meshes make_goldens.py used."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    from make_goldens import non_manifold_fin_mesh
+
+    from sdflib_tpu.utils.primitives import make_icosphere, make_torus
+
+    return {
+        "icosphere": make_icosphere(subdivisions=3, radius=0.42),
+        "torus": make_torus(R=0.3, r=0.12, nu=48, nv=24),
+        "nonmanifold": non_manifold_fin_mesh(),
+    }
+
+
+@pytest.fixture(scope="module")
+def meshes():
+    return _regen_meshes()
+
+
+@pytest.mark.parametrize("name", ["icosphere", "torus", "nonmanifold"])
+def test_triangle_data_matches_cpp(name, meshes):
+    """TriangleData precompute parity: frames, edge dirs, pseudonormals.
+
+    Layout: 37 f32 = origin 3 | transform 9 (column-major) | b 2 | c 2 |
+    v2 1 | v3 2 | edgesNormal 9 | verticesNormal 9 (TriangleUtils.h:50-54).
+    """
+    from sdflib_tpu.triangle import calculate_mesh_triangle_data
+
+    g = np.load(os.path.join(DATA, f"dist_{name}.npz"))
+    golden = g["tridata"]
+    soa = calculate_mesh_triangle_data(meshes[name])
+
+    T = golden.shape[0]
+    assert soa.origin.shape[0] == T
+    np.testing.assert_allclose(soa.origin, golden[:, 0:3], atol=1e-6)
+    # golden transform columns -> row-major (T,3,3)
+    gt = golden[:, 3:12].reshape(T, 3, 3).transpose(0, 2, 1)
+    np.testing.assert_allclose(soa.transform, gt, atol=2e-5)
+    np.testing.assert_allclose(soa.b, golden[:, 12:14], atol=1e-5)
+    np.testing.assert_allclose(soa.c, golden[:, 14:16], atol=1e-5)
+    np.testing.assert_allclose(soa.v2x, golden[:, 16], atol=1e-5)
+    np.testing.assert_allclose(soa.v3xy, golden[:, 17:19], atol=1e-5)
+    np.testing.assert_allclose(
+        soa.edges_normal, golden[:, 19:28].reshape(T, 3, 3), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        soa.vertices_normal, golden[:, 28:37].reshape(T, 3, 3), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("name", ["icosphere", "torus", "nonmanifold"])
+def test_brute_force_distance_matches_cpp(name, meshes):
+    """RealSdf parity on 100k samples: our batched kernel vs the compiled
+    reference scalar loop (BASELINE acceptance: allclose on distance and
+    gradient)."""
+    from sdflib_tpu.ops.point_triangle import (
+        signed_distance_batch,
+        signed_distance_grad_batch,
+    )
+    from sdflib_tpu.triangle import calculate_mesh_triangle_data
+
+    g = np.load(os.path.join(DATA, f"dist_{name}.npz"))
+    pts = g["points"]
+    soa = jax.tree.map(jnp.asarray, calculate_mesh_triangle_data(meshes[name]))
+
+    d = np.asarray(signed_distance_batch(jnp.asarray(pts), soa, impl="xla"))
+    # |d| must match everywhere; tolerance covers fp32 association order.
+    np.testing.assert_allclose(np.abs(d), np.abs(g["dist"]), atol=5e-5)
+    # Sign may legitimately differ only where |d| ~ 0 (on-surface points).
+    sign_mismatch = (np.sign(d) != np.sign(g["dist"])) & (
+        np.abs(g["dist"]) > 1e-4
+    )
+    assert sign_mismatch.mean() < 1e-4, (
+        f"{sign_mismatch.sum()} sign mismatches"
+    )
+
+    d2, grad = signed_distance_grad_batch(jnp.asarray(pts), soa, impl="xla")
+    d2, grad = np.asarray(d2), np.asarray(grad)
+    # Gradient comparison away from surface/tie regions (argmin winners can
+    # differ at last-ulp ties; both gradients are then valid one-sided).
+    stable = np.abs(g["dist"]) > 1e-3
+    err = np.linalg.norm(grad - g["grad"], axis=-1)
+    frac_bad = (err[stable] > 1e-3).mean()
+    assert frac_bad < 5e-3, f"gradient mismatch fraction {frac_bad}"
+
+
+def test_tricubic_matches_cpp():
+    """Tricubic fit -> eval parity vs InterpolationMethods.h:292-455."""
+    from sdflib_tpu.ops.interpolation import (
+        tricubic_fit,
+        tricubic_gradient,
+        tricubic_interpolate,
+    )
+
+    g = np.load(os.path.join(DATA, "tricubic.npz"))
+    corners = jnp.asarray(g["corners"])          # (n, 8, 8)
+    sizes = jnp.asarray(g["node_sizes"])
+    fracs = jnp.asarray(g["fracs"])
+
+    coeffs = tricubic_fit(corners, sizes)
+    scale = np.maximum(1.0, np.abs(g["coeffs"]).max(axis=1, keepdims=True))
+    np.testing.assert_allclose(
+        np.asarray(coeffs) / scale, g["coeffs"] / scale, atol=2e-4
+    )
+    vals = tricubic_interpolate(jnp.asarray(g["coeffs"]), fracs)
+    np.testing.assert_allclose(np.asarray(vals), g["value"], atol=1e-4)
+    grads = tricubic_gradient(jnp.asarray(g["coeffs"]), fracs)
+    np.testing.assert_allclose(np.asarray(grads), g["grad"], atol=2e-3)
+
+
+def test_octree_walk_matches_cpp():
+    """Full query path vs the compiled reference walk over the SAME .bin."""
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin
+
+    g = np.load(os.path.join(DATA, "octree_walk.npz"))
+    sdf = load_sdflib_bin(os.path.join(DATA, "octree_torus.bin"))
+    d = np.asarray(sdf.get_distance(jnp.asarray(g["points"])))
+    np.testing.assert_allclose(d, g["dist"], atol=5e-5)
+    d2, grad = sdf.get_distance_and_gradient(jnp.asarray(g["points"]))
+    np.testing.assert_allclose(np.asarray(d2), g["dist"], atol=5e-5)
+    err = np.linalg.norm(np.asarray(grad) - g["grad"], axis=-1)
+    assert (err > 1e-3).mean() < 1e-3
+
+
+def test_cpp_written_bin_loads_identically():
+    """A .bin written by the C++ generator parses to the same structure and
+    produces the same distances as the Python-written original."""
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin
+
+    a = load_sdflib_bin(os.path.join(DATA, "octree_torus.bin"))
+    b = load_sdflib_bin(os.path.join(DATA, "octree_torus_cpp.bin"))
+    np.testing.assert_array_equal(
+        np.asarray(a.octree_data), np.asarray(b.octree_data)
+    )
+    g = np.load(os.path.join(DATA, "octree_walk.npz"))
+    pts = jnp.asarray(g["points"][:4096])
+    np.testing.assert_array_equal(
+        np.asarray(a.get_distance(pts)), np.asarray(b.get_distance(pts))
+    )
+
+
+def test_goldens_regenerable():
+    """When the reference checkout + g++ are present, the generator must
+    still compile (shims stay in sync with the reference headers)."""
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not present")
+    here = os.path.join(os.path.dirname(__file__), "golden")
+    out = "/tmp/gen_golden_testbuild"
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-fsyntax-only",
+        "-I", os.path.join(here, "shim"),
+        "-I", os.path.join(ref, "include"),
+        os.path.join(here, "gen_golden.cpp"),
+    ]
+    subprocess.run(cmd, check=True)
