@@ -34,6 +34,7 @@ def _device_put_structure(sdf, mesh):
         "bucket_fields",
         "bucket_cmin",
         "packed_fields",
+        "_leaf_grid",
         "grid_values",
     ):
         arr = getattr(out, name, None)

@@ -14,12 +14,86 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..sdf.octree import OctreeSdf, _octree_query, _octree_query_grid
+from ..sdf.octree import (
+    CHILDREN_INDEX_MASK,
+    OctreeSdf,
+    _octree_query,
+    _octree_query_grid,
+)
+from ..ops.box import box_distance
+from ..ops.interpolation import tricubic_interpolate, trilinear_interpolate
 
 __all__ = ["TraceResult", "sphere_trace", "trace_octree"]
+
+
+def _grid_distance_and_step(
+    octree_u32,
+    grid_u32,
+    pts,
+    dirs,
+    box_min,
+    box_size,
+    min_border_value,
+    *,
+    grid_depth: int,
+    num_coeff: int,
+    interpolation: str,
+):
+    """Distance + SAFE STEP in one pass over the dense leaf grid.
+
+    For cells flagged surface-free (bit 16 of the depth word, proven by
+    build_query_grid's per-leaf Lipschitz bound), the step extends to the
+    cell-exit distance along the ray: grazing rays stop crawling at the
+    tiny local distance value and cross empty cells in one step each —
+    the step count becomes O(cells crossed) instead of O(distance/d_min).
+    Out-of-box points use the box fallback distance (itself an exact lower
+    bound, so marching by it is safe)."""
+    g = 1 << grid_depth
+    rel = (pts - box_min) / box_size
+    in_box = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+    cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
+    lin = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]
+
+    row = grid_u32[lin]
+    word = row[..., 0]
+    dw = row[..., 1]
+    depth = (dw & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    free = (dw >> 16) & jnp.uint32(1)
+
+    scale = jnp.exp2(depth.astype(pts.dtype))
+    f = rel * scale[..., None]
+    frac = f - jnp.floor(f)
+    base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
+    shift = 6 if num_coeff == 64 else 3
+    coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
+    coeffs = jax.lax.bitcast_convert_type(coeffs_u32, jnp.float32)
+    if interpolation == "tricubic":
+        d_in = tricubic_interpolate(coeffs, frac)
+    else:
+        d_in = trilinear_interpolate(coeffs, frac)
+    center = box_min + 0.5 * box_size
+    size3 = jnp.full((3,), box_size, pts.dtype)
+    d = jnp.where(
+        in_box, d_in, box_distance(pts, center, size3) + min_border_value
+    )
+
+    # Ray/cell-AABB exit distance (world units).
+    cell_size = box_size / g
+    cell_min = box_min + cell.astype(pts.dtype) * cell_size
+    far_face = cell_min + (dirs > 0).astype(pts.dtype) * cell_size
+    t_ax = jnp.where(
+        dirs != 0.0, (far_face - pts) / dirs, jnp.inf
+    )
+    t_exit = jnp.min(t_ax, axis=-1) + 1e-3 * cell_size
+
+    step = jnp.where(
+        (free == 1) & in_box, jnp.maximum(d, t_exit), jnp.maximum(d, 0.0)
+    )
+    return d, step
 
 
 class TraceResult(NamedTuple):
@@ -38,11 +112,16 @@ def sphere_trace_state(
     eps: float = 1e-5,
     far: float = 10.0,
     max_iters: int = 1024,
+    distance_step_fn=None,
 ):
     """Resumable batched ray march. ``state`` = (pos, acc, last_d, active)
     per ray; returns the advanced state plus iterations run. Loop semantics
     mirror raycast (comp shader :392-409): march by max(d, 0), stop when
-    d <= eps (hit), accumulated > far, or iteration cap."""
+    d <= eps (hit), accumulated > far, or iteration cap.
+
+    distance_step_fn(pos) -> (d, step) optionally supplies a safe step
+    larger than d (e.g. cell-exit skipping through provably empty cells);
+    the hit test always uses d."""
     dirs = jnp.asarray(dirs, jnp.float32)
 
     def cond(carry):
@@ -51,8 +130,11 @@ def sphere_trace_state(
 
     def body(carry):
         it, (pos, acc, last_d, active) = carry
-        d = distance_fn(pos)
-        step = jnp.maximum(d, 0.0)
+        if distance_step_fn is not None:
+            d, step = distance_step_fn(pos)
+        else:
+            d = distance_fn(pos)
+            step = jnp.maximum(d, 0.0)
         new_pos = pos + dirs * (step * active)[..., None]
         new_acc = acc + step * active
         new_last = jnp.where(active > 0, d, last_d)
@@ -117,13 +199,6 @@ def _march_state_jit(
     # distanceScale = 1/boxSize (RenderSdf.cpp:128). Equivalent here: march
     # in world space and scale eps/far by boxSize.
     def dist_fn(points):
-        if grid_depth is not None:
-            return _octree_query_grid(
-                octree_u32, grid_u32, points, box_min, box_size,
-                min_border_value,
-                grid_depth=grid_depth, num_coeff=num_coeff,
-                interpolation=interpolation, with_gradient=False,
-            )
         return _octree_query(
             octree_u32, points, box_min, box_size, start_grid_size,
             min_border_value,
@@ -131,9 +206,20 @@ def _march_state_jit(
             with_gradient=False, fast=fast,
         )
 
+    dist_step_fn = None
+    if grid_depth is not None:
+        def dist_step_fn(points):
+            return _grid_distance_and_step(
+                octree_u32, grid_u32, points, dirs, box_min, box_size,
+                min_border_value,
+                grid_depth=grid_depth, num_coeff=num_coeff,
+                interpolation=interpolation,
+            )
+
     it, state = sphere_trace_state(
         dist_fn, state, dirs,
         eps=eps * box_size, far=far * box_size, max_iters=max_iters,
+        distance_step_fn=dist_step_fn,
     )
     return it, state
 
@@ -152,14 +238,90 @@ def _trace_normals_jit(
     return normal
 
 
-# Rays per compacted march block; the while_loop pays the slowest ray in a
-# block, so unfinished rays are re-packed together between phases.
-_TRACE_BLOCK = 1 << 15
-# Iterations of the first all-rays phase: most rays (clean hits and clean
-# misses) converge within this budget; the survivors — silhouette-grazing
-# rays that need hundreds of steps — are compacted so the bulk of the batch
-# stops paying march iterations for them.
-_WARMUP_ITERS = 48
+@partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
+                                   "max_iters", "grid_depth", "fast"))
+def _beam_prepass_jit(
+    octree_u32,
+    grid_u32,
+    origins,      # (B, 3) one conservative ray per tile
+    dirs,         # (B, 3)
+    r0,           # (B,) tile radius at t=0 (max member-ray origin offset)
+    rd,           # (B,) radius growth per unit t (max member-dir divergence)
+    box_min,
+    box_size,
+    start_grid_size,
+    min_border_value,
+    margin,       # world-space safety: eps + fit-error budget
+    far,
+    *,
+    levels: int,
+    num_coeff: int,
+    interpolation: str,
+    max_iters: int,
+    grid_depth: int | None = None,
+    fast: bool = True,
+):
+    """Beam (tile) prepass: march one ray per tile with the hit test
+    expanded by the tile radius r(t) = r0 + t*rd, stepping by
+    d - r(t) - margin. Every member ray's path stays within r(t) of the
+    beam ray, and the true SDF is 1-Lipschitz, so no member ray can hit
+    before the beam's stopping depth — member rays then START at that
+    depth, skipping the whole empty-space approach (the bulk of marching
+    cost: every step is one data-dependent gather).
+
+    Mirrors the role of the reference renderer's per-tile GPU dispatch
+    coherence (RenderSdf.cpp:187, 16x16 tiles), recast as an explicit
+    two-level TPU schedule."""
+    def dist_fn(points):
+        if grid_depth is not None:
+            return _octree_query_grid(
+                octree_u32, grid_u32, points, box_min, box_size,
+                min_border_value,
+                grid_depth=grid_depth, num_coeff=num_coeff,
+                interpolation=interpolation, with_gradient=False,
+            )
+        return _octree_query(
+            octree_u32, points, box_min, box_size, start_grid_size,
+            min_border_value,
+            levels=levels, num_coeff=num_coeff, interpolation=interpolation,
+            with_gradient=False, fast=fast,
+        )
+
+    def cond(carry):
+        it, _, _, active = carry
+        return jnp.logical_and(it < max_iters, jnp.any(active))
+
+    def body(carry):
+        it, pos, acc, active = carry
+        d = dist_fn(pos)
+        radius = r0 + acc * rd
+        # /(1+rd): the radius keeps growing over the step interval; this
+        # keeps d >= r(t) + margin at every point along the step.
+        step = jnp.maximum((d - radius - margin) / (1.0 + rd), 0.0)
+        new_pos = pos + dirs * (step * active)[..., None]
+        new_acc = acc + step * active
+        new_active = active * (step > 0.0) * (new_acc < far)
+        return it + 1, new_pos, new_acc, new_active
+
+    B = origins.shape[0]
+    _, _, acc, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), origins, jnp.zeros(B, jnp.float32),
+         jnp.ones(B, jnp.float32)),
+    )
+    return acc
+
+
+# Rays per march block; the while_loop pays the slowest ray in a block, so
+# unfinished rays are re-packed together between rounds.
+_TRACE_BLOCK = 1 << 17
+# March-round schedule: every ray pays at least the first round, so it is
+# short (with the beam prepass most hit rays finish inside it); rounds
+# grow geometrically so stragglers (silhouette-grazing rays) pay
+# ever-larger chunks while the finished bulk stops costing gathers —
+# every march step is one data-dependent gather, the tracer's measured
+# unit cost.
+_FIRST_ROUND_ITERS = 16
 
 
 def trace_octree(
@@ -171,14 +333,21 @@ def trace_octree(
     far: float = 4.0,
     max_iters: int = 1024,
     block_size: int | None = None,
+    beam: int | None = 4,
 ) -> TraceResult:
     """Sphere-trace rays against an OctreeSdf. eps/far are in normalized
     octree space (box edge = 1), matching the reference shader.
 
-    Two-phase schedule: a fixed warmup march over all rays, then the
-    unfinished rays are compacted (argsort by active mask) and only they
-    continue — the TPU-shaped replacement for the per-pixel divergence a
-    GPU absorbs in hardware (RenderSdf.cpp:187)."""
+    Three-phase schedule: a BEAM PREPASS (one radius-expanded ray per
+    beam x beam tile — image-shaped (H, W, 3) inputs tile in 2D, flat
+    inputs tile consecutive rays — whose stopping depth is a proven-safe
+    starting depth for every ray in the tile, skipping the empty-space
+    approach, where each step costs one data-dependent gather), then a
+    fixed warmup march over all rays, then the unfinished rays are
+    compacted (argsort by active mask) and only they continue — the
+    TPU-shaped replacement for the per-pixel divergence a GPU absorbs in
+    hardware (RenderSdf.cpp:187, 16x16 tile dispatch). beam=None disables
+    the prepass."""
     origins = jnp.asarray(origins, jnp.float32)
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = origins.shape
@@ -205,7 +374,12 @@ def trace_octree(
         jnp.float32(eps),
         jnp.float32(far),
     )
+    # The free-cell flags guarantee poly > _FREE_CELL_MARGIN * box_size in
+    # flagged cells; exit-stepping is only sound for hit thresholds below
+    # that margin (default eps=1e-5 is).
     grid = getattr(octree, "_query_grid", None)
+    if grid is not None and eps > OctreeSdf._FREE_CELL_MARGIN:
+        grid = None
     statics = dict(
         levels=octree.max_depth - octree.start_depth,
         num_coeff=octree.num_coefficients,
@@ -236,37 +410,104 @@ def trace_octree(
         )
         return its, merged
 
+    start_t = jnp.zeros(Rp, jnp.float32)
+    if beam is not None and R >= beam * beam:
+        bb = beam * beam
+        if len(shape) == 3 and shape[0] % beam == 0 and shape[1] % beam == 0:
+            H, W = shape[0], shape[1]
+            i = np.arange(R)
+            tile_of_ray = (i // W // beam) * (W // beam) + (i % W) // beam
+            ntiles = (H // beam) * (W // beam)
+        else:
+            tile_of_ray = np.arange(R) // bb
+            ntiles = -(-R // bb)
+        seg = jnp.asarray(tile_of_ray.astype(np.int32))
+        cnt = jax.ops.segment_sum(
+            jnp.ones(R, jnp.float32), seg, num_segments=ntiles
+        )
+        o_flat = o[:R]
+        d_flat = d[:R]
+        o_c = (
+            jax.ops.segment_sum(o_flat, seg, num_segments=ntiles)
+            / cnt[:, None]
+        )
+        d_sum = jax.ops.segment_sum(d_flat, seg, num_segments=ntiles)
+        d_c = d_sum / jnp.maximum(
+            jnp.sqrt(jnp.sum(d_sum * d_sum, -1, keepdims=True)), 1e-20
+        )
+        r0 = jax.ops.segment_max(
+            jnp.sqrt(jnp.sum(jnp.square(o_flat - o_c[seg]), -1)),
+            seg, num_segments=ntiles,
+        )
+        rd = jax.ops.segment_max(
+            jnp.sqrt(jnp.sum(jnp.square(d_flat - d_c[seg]), -1)),
+            seg, num_segments=ntiles,
+        )
+        # Safety margin: hit threshold + fit-error budget (the Lipschitz
+        # argument runs through the TRUE distance; the polynomial tracks
+        # it within the builder's termination threshold).
+        thr = float(getattr(octree, "termination_threshold", 1e-3))
+        margin = jnp.float32(
+            eps * float(octree.box.size[0]) + 4.0 * thr
+        )
+        beam_t = _beam_prepass_jit(
+            octree.octree_data, grid_arr, o_c, d_c, r0, rd,
+            *common[:4], margin, jnp.float32(far * float(octree.box.size[0])),
+            max_iters=256,
+            **statics,
+        )
+        start_t = jnp.pad(beam_t[seg], (0, Rp - R))
+
     state = (
-        o,
-        jnp.zeros(Rp, jnp.float32),
+        o + d * start_t[:, None],
+        start_t,
         jnp.full(Rp, jnp.inf, jnp.float32),
         pad_active,
     )
-    its_a, state = march(state, d, min(_WARMUP_ITERS, max_iters))
-    iters_used = jnp.concatenate(
-        [jnp.full(B, it, jnp.int32) for it in its_a]
-    )
 
-    active = state[3] > 0
-    n_active = int(jnp.sum(active))
-    if n_active > 0 and max_iters > _WARMUP_ITERS:
-        order = jnp.argsort(~active)  # unfinished rays first
-        inv = jnp.zeros_like(order).at[order].set(jnp.arange(Rp))
-        state_s = jax.tree.map(lambda a: a[order], state)
-        dirs_s = d[order]
-        n_blk = min(-(-n_active // B) * B, Rp)
-        head = jax.tree.map(lambda a: a[:n_blk], state_s)
-        its_b, head = march(head, dirs_s[:n_blk],
-                            max_iters - _WARMUP_ITERS)
-        state_s = jax.tree.map(
-            lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state_s
+    # Multi-round march with compaction: rounds grow geometrically; after
+    # each round the still-active rays are re-packed to the front so the
+    # finished bulk stops paying march gathers. `perm` maps current order
+    # -> original ray index; the active set only shrinks, so each
+    # compaction sorts just the previous active prefix.
+    perm = jnp.arange(Rp)
+    d_cur = d
+    iters_used = jnp.zeros(Rp, jnp.int32)
+    n_cur = Rp
+    remaining = max_iters
+    round_iters = min(_FIRST_ROUND_ITERS, max_iters)
+    while remaining > 0 and n_cur > 0:
+        k = min(round_iters, remaining)
+        n_blk = min(-(-n_cur // B) * B, Rp)
+        head = jax.tree.map(lambda a: a[:n_blk], state)
+        its, head = march(head, d_cur[:n_blk], k)
+        state = jax.tree.map(
+            lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
         )
-        state = jax.tree.map(lambda a: a[inv], state_s)
-        extra = jnp.concatenate(
-            [jnp.full(B, it, jnp.int32) for it in its_b]
-            + [jnp.zeros(Rp - n_blk, jnp.int32)]
-        )[inv]
-        iters_used = iters_used + extra
+        iters_used = iters_used.at[perm[:n_blk]].add(
+            jnp.concatenate([jnp.full(B, it, jnp.int32) for it in its])
+        )
+        remaining -= k
+        round_iters = min(round_iters * 2, 256)
+
+        active = state[3][:n_blk] > 0
+        n_new = int(jnp.sum(active))
+        if n_new == 0:
+            n_cur = 0
+            break
+        if n_new < n_blk:  # re-pack actives to the front of the prefix
+            order = jnp.argsort(~active)
+            reorder = lambda a: jnp.concatenate(
+                [a[:n_blk][order], a[n_blk:]]
+            )
+            state = jax.tree.map(reorder, state)
+            perm = reorder(perm)
+            d_cur = reorder(d_cur)
+        n_cur = n_new
+
+    # Restore original ray order.
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(Rp))
+    state = jax.tree.map(lambda a: a[inv], state)
 
     pos, acc, last_d, _ = state
     eps_w = eps * float(octree.box.size[0])

@@ -77,16 +77,24 @@ def _lattice_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
     """Lattice-anchored triangle culling (the role of the reference's
     influence strategies, TrianglesInfluence.h:119-860, re-derived for
     batched evaluation): keep t iff for SOME half-step lattice anchor l,
+    BOTH of two independently-safe tests pass:
 
-        d_lb(t, subcube_l) <= min_t' d(t', l) + (half/2)*sqrt(3)
+      (A)  d_lb(t, subcube_l) <= min_t' d(t', l) + s,   s = (half/2)*sqrt(3)
+      (B)  d(t, l) <= min_t' d(t', l) + 2*s
 
     Safety: a point p in the node lies in the half-size sub-cube of some
-    anchor l with |p - l| <= (half/2)*sqrt(3); if t is nearest at p then
-    d(t, subcube_l) <= d(t,p) = min_t' d(t',p) <= min_t' d(t',l) + |p-l|.
-    d_lb is the exact AABB(triangle)-to-sub-cube distance. Anchored at 27
-    points instead of 8 corners, the slack halves and each min is local —
-    far tighter lists on dense meshes. All device-resident; `packed` is
-    the (T, 19) field matrix, `aabbs` the (T, 6) triangle AABBs."""
+    anchor l with |p - l| <= s. If t is nearest at p then
+      (A) d(t, subcube_l) <= d(t,p) = min_t' d(t',p) <= min_t' d(t',l) + s;
+      (B) d(t, l) <= d(t,p) + |p-l| <= (min_t' d(t',l) + s) + s.
+    Both hold for any winner, so their conjunction is still a safe
+    superset. (A) uses the exact AABB(triangle)-to-sub-cube distance —
+    loose by up to a triangle diameter for diagonal triangles; (B) reuses
+    the exact point-triangle distances already computed for min_l, and
+    caps that slack at 2s. On shell-like candidate sets (B) is the binding
+    test and cuts list sizes substantially for free. Anchored at 27 points
+    instead of 8 corners, the slack halves and each min is local. All
+    device-resident; `packed` is the (T, 19) field matrix, `aabbs` the
+    (T, 6) triangle AABBs."""
     fields = packed[cand_idx]                        # (C, K, 19) row gather
     ab = aabbs[cand_idx]                             # (C, K, 6) row gather
     px = centers[:, 0:1]
@@ -114,10 +122,56 @@ def _lattice_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
             jnp.maximum(ab[..., 0:3] - hi, lo - ab[..., 3:6]), 0.0
         )
         d_lb = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # (C, K)
-        keep = keep | (d_lb <= min_l[:, None] + slack)
+        bound_a = d_lb <= min_l[:, None] + slack
+        cap_b = min_l[:, None] + 2.0 * slack
+        bound_b = sqd_l <= cap_b * cap_b
+        keep = keep | (bound_a & bound_b)
 
     keep = keep & cand_valid
     return keep, jnp.sum(keep, axis=1), sqd_center
+
+
+@jax.jit
+def _basic_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
+    """Reference BasicTrianglesInfluence semantics
+    (TrianglesInfluence.h:119-168): keep t iff
+
+        d(t, node_box) <= maxMinDist,
+        maxMinDist = max over the 8 node corners of min_t' d(t', corner)
+
+    — the criterion of the cited CGF 2023 paper ("Triangle Influence
+    Supersets"). The reference evaluates the box-triangle distance with
+    iterative GJK capped at 15 iterations (GJK.cpp:564-600); here it is
+    the exact feature-pair enumeration (ops/gjk.py), batched. Returns the
+    same (keep, counts, center-key) triple as the lattice cull."""
+    from ..ops.gjk import box_triangle_distance
+
+    fields = packed[cand_idx]                        # (C, K, 19)
+    tv = vworld[cand_idx]                            # (C, K, 3, 3)
+    px = centers[:, 0:1]
+    py = centers[:, 1:2]
+    pz = centers[:, 2:3]
+
+    sqd_center = jnp.where(
+        cand_valid, sq_dist_packed(px, py, pz, fields), jnp.inf
+    )
+    maxmin = jnp.zeros(centers.shape[0], centers.dtype)
+    for c in range(8):
+        off = jnp.asarray(_CORNER_OFFS[c]) * half
+        sqd_c = sq_dist_packed(px + off[0], py + off[1], pz + off[2], fields)
+        sqd_c = jnp.where(cand_valid, sqd_c, jnp.inf)
+        maxmin = jnp.maximum(maxmin, jnp.sqrt(jnp.min(sqd_c, axis=1)))
+
+    d_box = box_triangle_distance(
+        jnp.broadcast_to(centers[:, None, :], tv.shape[:-2] + (3,)),
+        jnp.full((3,), half, centers.dtype),
+        tv,
+    )                                                # (C, K)
+    keep = (d_box <= maxmin[:, None]) & cand_valid
+    return keep, jnp.sum(keep, axis=1), sqd_center
+
+
+_CULL_STRATEGIES = ("lattice", "basic")
 
 
 @jax.jit
@@ -266,12 +320,15 @@ def _exact_scan_grouped(
 
     Every point in a group shares one leaf, so each 19*CH-float bucket row
     is gathered ONCE per group per chunk and broadcast across the group's
-    G lanes — a G-fold cut in gather traffic vs the per-point scan, which
-    is the measured bottleneck (VERDICT r1: gathers, not arithmetic).
+    G lanes — a G-fold cut in gather traffic vs the per-point scan.
     Early exit is the same distance-sorted bound as the per-point scan,
-    evaluated per point; a group retires when all its lanes are done."""
+    evaluated per point; a group retires when all its lanes are done.
+    G and CH are shape-derived: the caller picks the group width from the
+    measured points-per-leaf density and the chunk width from the bucket
+    build (pairwise evaluations, the measured floor at ~4 G pairs/s on
+    v5e, scale as P * CH * chunks / fill)."""
     NG, G, _ = gpts.shape
-    CH = _LEAF_CHUNK
+    CH = bucket_ids.shape[1]
     bucket0 = leaf_offset[gleaf] // CH               # (NG,)
     cnt = leaf_count[gleaf]
     num_buckets = bucket_ids.shape[0]
@@ -350,7 +407,8 @@ def _exact_scan(
     """Masked brute force over denormalized leaf buckets with
     distance-sorted early exit (ExactOctreeSdf.cpp:105-175 role). Points
     should be pre-sorted by leaf id so whole blocks exit early together."""
-    bucket0 = leaf_offset[leaf_id] // _LEAF_CHUNK   # (B,) first bucket row
+    CH = bucket_ids.shape[1]
+    bucket0 = leaf_offset[leaf_id] // CH            # (B,) first bucket row
     cnt = leaf_count[leaf_id]
     num_buckets = bucket_ids.shape[0]
 
@@ -369,12 +427,12 @@ def _exact_scan(
 
     def chunk_step(carry):
         i, best, best_id, done = carry
-        active = ((i * _LEAF_CHUNK) < cnt) & ~done
+        active = ((i * CH) < cnt) & ~done
         brow = jnp.where(active, bucket0 + i, 0)
         tri_ids = bucket_ids[brow]                       # (P, CH) row gather
         if dense_buckets:
             fields = bucket_fields[brow].reshape(        # (P, 19, CH)
-                pts.shape[:-1] + (19, _LEAF_CHUNK)
+                pts.shape[:-1] + (19, CH)
             )
             field_fn = lambda r: fields[..., r, :]
         else:  # memory-light: per-field element gathers from (T, 19)
@@ -391,7 +449,7 @@ def _exact_scan(
         best = jnp.where(take, local, best)
         best_id = jnp.where(take, local_id, best_id)
 
-        exhausted = ((i + 1) * _LEAF_CHUNK) >= cnt
+        exhausted = ((i + 1) * CH) >= cnt
         if early_exit:
             nxt = jnp.minimum(bucket0 + i + 1, num_buckets - 1)
             unbeatable = bucket_cmin[nxt] - r_p > jnp.sqrt(best)
@@ -449,17 +507,24 @@ def _build_exact(
     start_depth: int,
     min_triangles_per_node: int,
     pair_budget: int = 1 << 21,
+    strategy: str = "lattice",
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
     stats).
 
     All (N, K) candidate state lives on DEVICE across levels — only small
     per-node scalars (keep counts, terminal masks) and the final leaf lists
-    cross the host boundary. The per-node triangle cull is the reference's
-    corner criterion (BasicTrianglesInfluence), far tighter than a
-    center-ball test on thin-shell geometry."""
+    cross the host boundary. The per-node triangle cull is selected by
+    ``strategy``: "lattice" (house variant, 27 anchors + exact-distance
+    cap — the tightest) or "basic" (reference BasicTrianglesInfluence
+    corner criterion, TrianglesInfluence.h:119-168)."""
+    if strategy not in _CULL_STRATEGIES:
+        raise ValueError(
+            f"strategy must be one of {_CULL_STRATEGIES}, got {strategy!r}"
+        )
     packed = jnp.asarray(pack_triangle_fields(tris))
     aabbs = _triangle_aabbs(tris)
+    vworld = jnp.asarray(tris.v_world)
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
 
@@ -525,9 +590,14 @@ def _build_exact(
                     cn = jnp.pad(cn, [(0, pad), (0, 0)])
                     ci = jnp.pad(ci, [(0, pad), (0, 0)])
                     cv = jnp.pad(cv, [(0, pad), (0, 0)])
-                k, kc, sq = _lattice_cull_chunk(
-                    packed, aabbs, cn, ci, cv, jnp.float32(half)
-                )
+                if strategy == "lattice":
+                    k, kc, sq = _lattice_cull_chunk(
+                        packed, aabbs, cn, ci, cv, jnp.float32(half)
+                    )
+                else:
+                    k, kc, sq = _basic_cull_chunk(
+                        packed, vworld, cn, ci, cv, jnp.float32(half)
+                    )
                 keeps_parts.append(k)
                 kcount_parts.append(kc)
                 sqd_parts.append(sq)
@@ -686,6 +756,7 @@ class ExactOctreeSdf(SdfFunction):
         max_depth: int = 7,
         start_depth: int = 2,
         min_triangles_per_node: int = 128,
+        strategy: str = "lattice",
         _state: dict | None = None,
     ):
         if _state is not None:
@@ -698,6 +769,7 @@ class ExactOctreeSdf(SdfFunction):
         self.start_depth = int(start_depth)
         self.start_grid_size = 1 << self.start_depth
         self.min_triangles_per_node = int(min_triangles_per_node)
+        self.strategy = strategy
 
         soa = calculate_mesh_triangle_data(mesh)
         self.triangles: TriangleDataSoA = jax.tree.map(jnp.asarray, soa)
@@ -709,6 +781,7 @@ class ExactOctreeSdf(SdfFunction):
                 self.max_depth,
                 self.start_depth,
                 self.min_triangles_per_node,
+                strategy=self.strategy,
             )
         )
         self.octree_data = jnp.asarray(octree)
@@ -718,6 +791,7 @@ class ExactOctreeSdf(SdfFunction):
         self.leaf_centers = jnp.asarray(leaf_centers)
         self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
+        self.scan_chunk = _LEAF_CHUNK
         self._make_buckets()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
@@ -735,7 +809,8 @@ class ExactOctreeSdf(SdfFunction):
         19 -> 128 by the TPU tiled layout, a 6.7x HBM blowup. Falls back
         to id-only buckets when even the flat fields exceed the budget
         (deep trees with fat equidistant-shell leaves)."""
-        ids = jnp.asarray(self.tri_flat).reshape(-1, _LEAF_CHUNK)
+        CH = self.scan_chunk
+        ids = jnp.asarray(self.tri_flat).reshape(-1, CH)
         self.packed_fields = pack_triangle_fields(self.triangles)
         self.bucket_ids = ids
         nf = self.packed_fields.shape[1]
@@ -748,7 +823,7 @@ class ExactOctreeSdf(SdfFunction):
                 for r in range(nf)
             ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
             self.bucket_fields = jnp.stack(per_field, axis=1).reshape(
-                ids.shape[0], nf * _LEAF_CHUNK
+                ids.shape[0], nf * CH
             )
         else:
             self.bucket_fields = None
@@ -759,7 +834,11 @@ class ExactOctreeSdf(SdfFunction):
         # — the query's early-exit bound.
         offs = np.asarray(self.leaf_offset)
         cnts = np.asarray(self.leaf_count)
-        spans = (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)).astype(np.int64)
+        # tri_flat spans are padded to _LEAF_CHUNK at build time; a leaf
+        # owns its padded span's worth of CH-wide buckets, not ceil(cnt/CH).
+        spans = (
+            (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH)
+        ).astype(np.int64)
         bucket_leaf = np.repeat(
             np.arange(len(offs), dtype=np.int32), spans
         )[: ids.shape[0]]
@@ -775,7 +854,7 @@ class ExactOctreeSdf(SdfFunction):
             cen_c = cen_b[i : i + C]
             if self.bucket_fields is not None:
                 bf = self.bucket_fields[i : i + C].reshape(
-                    ids_c.shape[0], nf, _LEAF_CHUNK
+                    ids_c.shape[0], nf, CH
                 )
                 field_fn = lambda r: bf[:, r, :]
             else:
@@ -797,13 +876,29 @@ class ExactOctreeSdf(SdfFunction):
     # amortize gather descriptors better (measured +21% over 2^15 on v5e).
     # Used only by the memory-light (no dense buckets) fallback scan.
     _QUERY_BLOCK = 1 << 17
-    # Group block for the dense grouped scan: bounds the transient
-    # (NB, G, CH) distance matrices (~32 MB/temp at 2048 groups).
-    _GROUP_BLOCK = 1 << 11
-    _GROUP = _LEAF_CHUNK  # points per group (one bucket row serves all)
+    # Per-scan-call transient budget: the group block NB is sized so the
+    # (NB, G, CH) distance matrices stay ~32 MB per temporary.
+    _GROUP_PAIR_BUDGET = 1 << 23
     # Auto-build the dense leaf-id grid up to this depth (4 B/finest cell:
     # depth 7 -> 8 MB). Deeper structures can opt in via build_query_grid().
     _AUTO_GRID_DEPTH = 7
+
+    def set_scan_chunk(self, chunk: int) -> None:
+        """Rebuild the bucket tables with a different scan chunk width.
+        Must divide the build-time span alignment (64). Smaller chunks cut
+        the per-point eval floor (points pay >= one chunk of pairwise
+        evals) at the price of more loop iterations for fat lists."""
+        if 64 % chunk:
+            raise ValueError("scan chunk must divide 64")
+        if int(chunk) == self.scan_chunk:
+            return
+        self.scan_chunk = int(chunk)
+        # Drop the old denormalized tables BEFORE rebuilding: at bench
+        # scales they are multi-GB and two copies can exhaust HBM.
+        self.bucket_fields = None
+        self.bucket_ids = None
+        self.bucket_cmin = None
+        self._make_buckets()
 
     def build_query_grid(self) -> None:
         """Dense leaf-id grid at max_depth resolution: descent becomes one
@@ -833,19 +928,40 @@ class ExactOctreeSdf(SdfFunction):
             levels=self.max_depth - self.start_depth,
         )
 
-    def _scan_grouped(self, pts_s, lid_s, max_chunks: int):
+    def _scan_grouped(self, pts_s, lid_s, max_cnt: int):
         """Dense-bucket scan at group granularity (see _exact_scan_grouped).
-        One scalar (the group count) crosses to host to right-size the
-        group arrays; shapes are bucketed to powers of two for the compile
-        cache."""
-        G = self._GROUP
+
+        The group width G adapts to the measured points-per-touched-leaf
+        density (one scalar sync): oversized groups run mostly empty and
+        inflate the pairwise-eval volume — the measured cost floor — by
+        1/fill, while undersized groups only add (cheap, latency-bound)
+        gathers. A second scalar sync right-sizes the group arrays;
+        shapes are bucketed to powers of two for the compile cache."""
+        P = pts_s.shape[0]
+        n_leaves = int(jnp.sum(lid_s[1:] != lid_s[:-1])) + 1   # sync 1
+        avg = max(1, P // max(n_leaves, 1))
+        G = min(64, max(8, _round_pow2(avg, 1)))
         gid, lane = _assign_groups(lid_s, G=G)
-        n_groups = int(gid[-1]) + 1              # one-scalar d2h sync
-        NG = _round_pow2(n_groups, min(self._GROUP_BLOCK, 64))
+        n_groups = int(gid[-1]) + 1                            # sync 2
+        NG = _round_pow2(n_groups, 64)
         gpts, gvalid, gleaf, slot = _scatter_groups(
             pts_s, lid_s, gid, lane, G=G, NG=NG
         )
-        NB = min(self._GROUP_BLOCK, NG)
+        # Order groups by list length: a scan block's while_loop runs until
+        # its WORST group finishes, so mixing fat and thin leaves makes
+        # finished groups keep paying (masked) evals. Length-sorted blocks
+        # converge uniformly — iteration waste drops to the padding level.
+        order_g = jnp.argsort(self.leaf_count[gleaf])
+        gpts = gpts[order_g]
+        gvalid = gvalid[order_g]
+        gleaf = gleaf[order_g]
+        CH = self.scan_chunk
+        max_chunks = -(-max_cnt // CH)
+        # largest power of two within the pair budget (divides NG exactly)
+        NB = 64
+        while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
+            NB *= 2
+        NB = min(NB, NG)
         win_parts = []
         for i in range(0, NG, NB):
             win_parts.append(
@@ -866,6 +982,7 @@ class ExactOctreeSdf(SdfFunction):
         win = (
             jnp.concatenate(win_parts) if len(win_parts) > 1 else win_parts[0]
         )
+        win = jnp.zeros_like(win).at[order_g].set(win)  # undo length sort
         return win.reshape(-1)[slot]
 
     def _query(self, points, with_gradient: bool):
@@ -873,7 +990,6 @@ class ExactOctreeSdf(SdfFunction):
         flat = pts.reshape(-1, 3)
         P = flat.shape[0]
         max_cnt = int(np.max(np.asarray(self.leaf_count), initial=1))
-        max_chunks = -(-max_cnt // _LEAF_CHUNK)
 
         B = self._QUERY_BLOCK
         Pp = -(-max(P, 1) // B) * B
@@ -889,8 +1005,9 @@ class ExactOctreeSdf(SdfFunction):
 
         dense = self.bucket_fields is not None
         if dense:
-            win_s = self._scan_grouped(pts_s, lid_s, max_chunks)
+            win_s = self._scan_grouped(pts_s, lid_s, max_cnt)
         else:
+            max_chunks = -(-max_cnt // _LEAF_CHUNK)
             win_parts = []
             for i in range(0, Pp, B):
                 win_parts.append(
@@ -959,6 +1076,7 @@ class ExactOctreeSdf(SdfFunction):
             "tri_flat": np.asarray(self.tri_flat, np.int32),
             "leaf_centers": np.asarray(self.leaf_centers, np.float32),
             "sorted_lists": np.bool_(self._sorted_lists),
+            "strategy": np.array(getattr(self, "strategy", "lattice")),
             **{
                 f"tri_{name}": np.asarray(arr, np.float32)
                 for name, arr in self.triangles._asdict().items()
@@ -971,6 +1089,7 @@ class ExactOctreeSdf(SdfFunction):
         self.start_depth = int(np.log2(self.start_grid_size))
         self.max_depth = int(state["max_depth"])
         self.min_triangles_per_node = int(state["min_triangles_per_node"])
+        self.strategy = str(state.get("strategy", "lattice"))
         self.octree_data = jnp.asarray(state["octree_data"])
         self.leaf_offset = jnp.asarray(state["leaf_offset"])
         self.leaf_count = jnp.asarray(state["leaf_count"])
@@ -995,6 +1114,7 @@ class ExactOctreeSdf(SdfFunction):
             *(jnp.asarray(state[f"tri_{n}"]) for n in fields)
         )
         self.build_stats = {}
+        self.scan_chunk = _LEAF_CHUNK
         self._make_buckets()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:

@@ -204,7 +204,9 @@ def _octree_query_grid(
 
     row = grid_u32[lin]                          # (..., 2) row gather
     word = row[..., 0]
-    depth = row[..., 1].astype(jnp.int32)
+    # low 16 bits = leaf depth; bit 16 = "surface-free cell" march flag
+    # (written by build_query_grid, consumed by the sphere tracer).
+    depth = (row[..., 1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
     # frac within the leaf: p scaled to the leaf's depth
     scale = jnp.exp2(depth.astype(pts.dtype))
@@ -324,6 +326,7 @@ class OctreeSdf(SdfFunction):
         self.start_depth = int(start_depth)
         self.start_grid_size = 1 << self.start_depth
         self.interpolation = interpolation
+        self.termination_threshold = float(termination_threshold)
 
         tris = calculate_mesh_triangle_data(mesh)
         if init_algorithm == "uniform":
@@ -378,20 +381,77 @@ class OctreeSdf(SdfFunction):
     def num_coefficients(self) -> int:
         return 64 if self.interpolation == "tricubic" else 8
 
-    def build_query_grid(self) -> None:
+    def build_query_grid(self, march_flags: bool = True) -> None:
         """Precompute the dense leaf-id grid for O(1)-descent queries
-        (8 bytes x 8^max_depth; requires the aligned fast layout)."""
+        (8 bytes x 8^max_depth; requires the aligned fast layout).
+
+        march_flags additionally marks provably surface-free cells (bit 16
+        of the depth word) so the sphere tracer can take cell-exit-sized
+        steps through empty space instead of crawling at the local
+        distance value (the round-1 tracer's measured bottleneck)."""
         if not self._fast_layout:
             raise ValueError(
                 "query grid requires the aligned (builder-emitted) layout"
             )
-        self._query_grid = jnp.asarray(
-            _build_leaf_grid(
-                np.asarray(self.octree_data),
-                self.start_grid_size,
-                self.max_depth,
-            )
+        grid = _build_leaf_grid(
+            np.asarray(self.octree_data),
+            self.start_grid_size,
+            self.max_depth,
         )
+        if march_flags:
+            grid = self._mark_free_cells(grid)
+        self._query_grid = jnp.asarray(grid)
+
+    # Cells flagged surface-free keep the polynomial above this (in
+    # box-size units) with the error budget below; tracers must use
+    # eps <= this margin for exit-stepping to be sound.
+    _FREE_CELL_MARGIN = 1e-4
+    # Fit-error budget in units of the termination threshold: the true SDF
+    # is 1-Lipschitz and the builder drives the (integral) fit error below
+    # the threshold, so 10x threshold covers the pointwise deviation of
+    # error-terminated leaves with a wide margin. Max-depth leaves (whose
+    # error is not rule-bounded) sit next to the surface where the distance
+    # test fails anyway.
+    _FREE_CELL_ERR_BUDGET = 10.0
+
+    def _mark_free_cells(self, grid: np.ndarray) -> np.ndarray:
+        """Set bit 16 of the depth word for cells that provably contain no
+        surface:
+
+            d_poly(center) > (sqrt(3)/2) * cell_size + err_budget + margin
+
+        Because the true SDF is 1-Lipschitz, d_true > 0 throughout the
+        cell, and the polynomial (within its fit-error budget of the true
+        SDF) stays above the tracer's hit threshold — so stepping to the
+        cell exit cannot skip a hit."""
+        g = 1 << self.max_depth
+        box_min = np.asarray(self.box.min, np.float32)
+        box_size = float(self.box.size[0])
+        cell_size = box_size / g
+
+        thr = float(getattr(self, "termination_threshold", 1e-3))
+        cut = (
+            0.5 * np.sqrt(3.0) * cell_size
+            + self._FREE_CELL_ERR_BUDGET * thr
+            + self._FREE_CELL_MARGIN * box_size
+        )
+
+        n_cells = g * g * g
+        free = np.zeros(n_cells, bool)
+        chunk = 1 << 20
+        zi, yi, xi = np.meshgrid(
+            np.arange(g), np.arange(g), np.arange(g), indexing="ij"
+        )
+        centers_all = np.stack(
+            [xi.ravel(), yi.ravel(), zi.ravel()], -1
+        ).astype(np.float32)
+        for i in range(0, n_cells, chunk):
+            centers = box_min + (centers_all[i : i + chunk] + 0.5) * cell_size
+            d = np.asarray(self.get_distance(jnp.asarray(centers)))
+            free[i : i + chunk] = d > cut
+        out = grid.copy()
+        out[:, 1] |= free.astype(np.uint32) << 16
+        return out
 
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
@@ -464,6 +524,9 @@ class OctreeSdf(SdfFunction):
             "octree_data": np.asarray(self.octree_data, np.uint32),
             "interpolation": np.array(self.interpolation),
             "leaf_depths": np.asarray(self._leaf_depths, np.int32),
+            "termination_threshold": np.float32(
+                getattr(self, "termination_threshold", 1e-3)
+            ),
         }
 
     def _load_state(self, state: dict):
@@ -475,6 +538,9 @@ class OctreeSdf(SdfFunction):
         self.min_border_value = float(state["min_border_value"])
         self.octree_data = jnp.asarray(state["octree_data"])
         self.interpolation = str(state.get("interpolation", "tricubic"))
+        self.termination_threshold = float(
+            state.get("termination_threshold", 1e-3)
+        )
         self._leaf_depths = np.asarray(state.get("leaf_depths", []), np.int32)
         self.build_stats = {}
         self._fast_layout = _layout_is_aligned(

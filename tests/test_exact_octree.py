@@ -109,3 +109,55 @@ def test_exact_torus():
         np.asarray(real.get_distance(pts)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+@pytest.mark.parametrize("strategy", ["lattice", "basic"])
+def test_strategies_stay_exact(strategy):
+    """Exactness must hold under every culling strategy; the torus's
+    equidistant shells are the adversarial case for loose/tight culls."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16,
+        strategy=strategy,
+    )
+    real = RealSdf(mesh)
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4, (4096, 3)).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(ex.get_distance(pts)),
+        np.asarray(real.get_distance(pts)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_lattice_tighter_than_basic():
+    """The house lattice cull must produce lists at least as tight as the
+    reference Basic criterion (that's its reason to exist)."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
+    lat = ExactOctreeSdf(mesh, box, strategy="lattice", **kw)
+    bas = ExactOctreeSdf(mesh, box, strategy="basic", **kw)
+    mean_lat = np.mean(lat.build_stats["tris_per_leaf"])
+    mean_bas = np.mean(bas.build_stats["tris_per_leaf"])
+    assert mean_lat <= mean_bas * 1.05, (mean_lat, mean_bas)
+
+
+def test_scan_chunk_rechunk_matches():
+    """Re-chunking the bucket tables must not change query results."""
+    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16
+    )
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4, (2048, 3)).astype(
+        np.float32
+    )
+    d64 = np.asarray(ex.get_distance(pts))
+    ex.set_scan_chunk(16)
+    d16 = np.asarray(ex.get_distance(pts))
+    np.testing.assert_array_equal(d64, d16)
