@@ -58,13 +58,16 @@ def main():
     qps = n * iters / (time.perf_counter() - t0)
 
     # ---- sphere-traced rays/s ------------------------------------------------
+    # image-shaped origins: the tracer tiles 2D beams (beam prepass)
     R = 1024
     u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
     gu, gv = np.meshgrid(u, u)
     origins = np.stack(
         [gu, gv, np.full_like(gu, -1.2)], -1
-    ).reshape(-1, 3).astype(np.float32)
-    dirs = np.tile([[0.0, 0.0, 1.0]], (R * R, 1)).astype(np.float32)
+    ).astype(np.float32)
+    dirs = np.broadcast_to(
+        np.array([0.0, 0.0, 1.0], np.float32), origins.shape
+    ).copy()
     res = trace_octree(oct_, origins, dirs, max_iters=1024)
     jax.block_until_ready(res.depth)
     t0 = time.perf_counter()
@@ -90,6 +93,29 @@ def main():
     de.block_until_ready()
     exact_qps = ne / (time.perf_counter() - t0)
 
+    # ---- real-mesh scale: >=100k-triangle build + query ----------------------
+    # (BASELINE configs name Armadillo/Thingi10K-scale meshes; no assets in
+    # the image, so a dense torus at 100k+ triangles stands in.)
+    del de, ex
+    big_mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
+    big_box = big_mesh.bounding_box.add_margin(0.14)
+    t0 = time.perf_counter()
+    big_ex = ExactOctreeSdf(
+        big_mesh, big_box, max_depth=6, start_depth=2,
+        min_triangles_per_node=32,
+    )
+    big_build_s = time.perf_counter() - t0
+    nb = 1 << 20
+    bpts = pts[:nb]
+    db = big_ex.get_distance(bpts)
+    db.block_until_ready()
+    t0 = time.perf_counter()
+    db = big_ex.get_distance(bpts)
+    db.block_until_ready()
+    big_exact_qps = nb / (time.perf_counter() - t0)
+    big_tris = int(big_mesh.indices.size // 3)
+    big_mean_leaf = float(np.mean(big_ex.build_stats["tris_per_leaf"]))
+
     per_chip_target = 2.5e8       # 1e9 exact q/s on v5p-8 (4 chips)
     rays_chip_target = 2.5e7      # 1e8 rays/s on v5p-8 (4 chips)
     dev = jax.devices()[0]
@@ -107,6 +133,10 @@ def main():
             "exact_build_s": exact_build_s,
             "num_triangles": int(mesh.indices.size // 3),
             "octree_words_u32": octree_words,
+            "big_mesh_triangles": big_tris,
+            "big_exact_build_s": big_build_s,
+            "big_exact_queries_per_s": big_exact_qps,
+            "big_mean_tris_per_leaf": big_mean_leaf,
             "device": str(getattr(dev, "device_kind", dev)),
             "query_points": n,
         },

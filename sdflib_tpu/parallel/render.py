@@ -26,10 +26,19 @@ def sharded_trace(
     eps: float = 1e-5,
     far: float = 4.0,
     max_iters: int = 1024,
+    beam: int | None = None,
 ) -> TraceResult:
-    """trace_octree with rays sharded over the mesh's chips."""
+    """trace_octree with rays sharded over the mesh's chips.
+
+    The beam prepass defaults OFF here: its per-tile reductions
+    (segment_sum/max over rays) change summation order under sharding,
+    shifting beam start depths by last-ulp amounts and breaking the
+    bit-equality this module guarantees vs the single-chip trace
+    (the determinism test standing in for the reference's absent race
+    detection, SURVEY.md S5.2). Pass beam=4 to trade that for the
+    empty-space skip."""
     mesh = default_mesh() if mesh is None else mesh
-    _device_put_structure(octree, mesh)
+    octree = _device_put_structure(octree, mesh)
 
     o = jnp.asarray(origins, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
@@ -45,7 +54,7 @@ def sharded_trace(
     d = jax.device_put(d_pad, sh)
 
     res = trace_octree(
-        octree, o, d, eps=eps, far=far, max_iters=max_iters
+        octree, o, d, eps=eps, far=far, max_iters=max_iters, beam=beam
     )
     shape = jnp.asarray(origins).shape[:-1]
     return TraceResult(

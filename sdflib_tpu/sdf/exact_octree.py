@@ -301,7 +301,6 @@ def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
     return gpts.reshape(NG, G, 3), gvalid.reshape(NG, G), gleaf, slot
 
 
-@partial(jax.jit, static_argnames=("max_chunks", "early_exit"))
 def _exact_scan_grouped(
     leaf_offset,       # (L,) int32 into tri_flat, _LEAF_CHUNK-aligned
     leaf_count,        # (L,) int32
@@ -348,8 +347,12 @@ def _exact_scan_grouped(
         active = ((i * CH) < cnt) & ~grp_done
         brow = jnp.where(active, bucket0 + i, 0)
         tri_ids = bucket_ids[brow]                    # (NG, CH) row gather
-        fields = bucket_fields[brow].reshape(NG, NUM_PACKED_FIELDS, CH)
-        field_fn = lambda r: fields[:, None, r, :]    # (NG, 1, CH)
+        fields = bucket_fields[brow]                  # (NG, 19*CH)
+        # 2D column slices, NOT a (NG, 19, CH) reshape: splitting the lane
+        # dim into sublanes is a relayout copy the TPU pays every loop
+        # iteration (measured ~10 ms per iteration at NB=16k — the whole
+        # scan cost); lane slices fuse into the arithmetic for free.
+        field_fn = lambda r: fields[:, None, r * CH : (r + 1) * CH]
         sqd = sq_dist_from_field_fn(px, py, pz, field_fn)  # (NG, G, CH)
         valid = (tri_ids >= 0)[:, None, :] & active[:, None, None]
         sqd = jnp.where(valid, sqd, jnp.inf)
@@ -382,8 +385,115 @@ def _exact_scan_grouped(
         jnp.zeros((NG, G), jnp.int32),
         ~gvalid,
     )
-    _, _, win_ids, _ = jax.lax.while_loop(chunk_cond, chunk_step, init)
-    return win_ids
+    iters, _, win_ids, _ = jax.lax.while_loop(chunk_cond, chunk_step, init)
+    return win_ids, iters
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "use_grid", "grid_depth", "levels", "start_grid_size",
+        "G", "NG", "NB", "max_chunks", "early_exit", "with_gradient",
+    ),
+)
+def _exact_query_fused(
+    octree_u32,
+    leaf_grid_i32,     # dense cell->leaf grid (dummy when use_grid=False)
+    leaf_offset,
+    leaf_count,
+    leaf_centers,
+    bucket_ids,
+    bucket_fields,
+    bucket_cmin,
+    tris: TriangleDataSoA,
+    pts,               # (P, 3) padded batch
+    box_min,
+    box_size,
+    *,
+    use_grid: bool,
+    grid_depth: int,
+    levels: int,
+    start_grid_size: int,
+    G: int,
+    NG: int,
+    NB: int,
+    max_chunks: int,
+    early_exit: bool,
+    with_gradient: bool,
+):
+    """The ENTIRE exact query as ONE compiled program: descent -> leaf
+    sort -> group assignment/scatter -> length-ordered block scans
+    (lax.map) -> unsort -> signed finish.
+
+    One dispatch per query call. This matters independently of device
+    time: through a remote-device transport every eager op and d2h sync
+    pays a round trip (measured ~10-25 ms each on the axon tunnel), and
+    the previous multi-dispatch pipeline (3 slices + 1 call per scan
+    block, 2 scalar syncs) spent ~1 s of pure latency at 2M points. The
+    group width G is chosen by the caller (cached per batch shape), so no
+    data-dependent host decisions remain inside."""
+    # -- descent ------------------------------------------------------------
+    if use_grid:
+        leaf_id, in_box = _exact_descent_grid(
+            leaf_grid_i32, pts, box_min, box_size, grid_depth=grid_depth
+        )
+    else:
+        leaf_id, in_box = _exact_descent(
+            octree_u32, pts, box_min, box_size, start_grid_size,
+            levels=levels,
+        )
+
+    # -- leaf-coherent ordering + grouping ----------------------------------
+    order = jnp.argsort(leaf_id)
+    pts_s = pts[order]
+    lid_s = leaf_id[order]
+    gid, lane = _assign_groups(lid_s, G=G)
+    gpts, gvalid, gleaf, slot = _scatter_groups(
+        pts_s, lid_s, gid, lane, G=G, NG=NG
+    )
+
+    # -- order groups by list length ----------------------------------------
+    # (a block's while_loop runs to its WORST group; uniform-length blocks
+    # waste nothing. Empty padding groups sort first with key -1.)
+    occupied = jnp.any(gvalid, axis=1)
+    key = jnp.where(occupied, leaf_count[gleaf], -1)
+    order_g = jnp.argsort(key)
+    gpts = gpts[order_g]
+    gvalid = gvalid[order_g]
+    gleaf = gleaf[order_g]
+
+    # -- block scans (one compiled body, sequential over blocks) ------------
+    def blk(args):
+        bp, bv, bl = args
+        return _exact_scan_grouped(
+            leaf_offset, leaf_count, leaf_centers,
+            bucket_ids, bucket_fields, bucket_cmin,
+            bp, bv, bl,
+            max_chunks=max_chunks, early_exit=early_exit,
+        )
+
+    nblocks = NG // NB
+    wins, iters = jax.lax.map(
+        blk,
+        (
+            gpts.reshape(nblocks, NB, G, 3),
+            gvalid.reshape(nblocks, NB, G),
+            gleaf.reshape(nblocks, NB),
+        ),
+    )
+
+    # -- unsort -------------------------------------------------------------
+    win = wins.reshape(NG, G)
+    win = jnp.zeros_like(win).at[order_g].set(win)
+    win_s = win.reshape(-1)[slot]
+    win_ids = jnp.zeros_like(win_s).at[order].set(win_s)
+
+    # -- signed finish ------------------------------------------------------
+    out = _exact_finish(
+        tris, pts, win_ids, in_box, box_min, box_size,
+        with_gradient=with_gradient,
+    )
+    return out, iters
 
 
 @partial(
@@ -431,10 +541,9 @@ def _exact_scan(
         brow = jnp.where(active, bucket0 + i, 0)
         tri_ids = bucket_ids[brow]                       # (P, CH) row gather
         if dense_buckets:
-            fields = bucket_fields[brow].reshape(        # (P, 19, CH)
-                pts.shape[:-1] + (19, CH)
-            )
-            field_fn = lambda r: fields[..., r, :]
+            fields = bucket_fields[brow]                 # (P, 19*CH)
+            # lane slices, not a 3D reshape (lane->sublane relayout copy)
+            field_fn = lambda r: fields[..., r * CH : (r + 1) * CH]
         else:  # memory-light: per-field element gathers from (T, 19)
             safe = jnp.maximum(tri_ids, 0)
             field_fn = lambda r: bucket_fields[:, r][safe]
@@ -458,11 +567,13 @@ def _exact_scan(
             done = done | exhausted
         return i + 1, best, best_id, done
 
+    # carries derive from the data (r_p/leaf_id) rather than bare shapes so
+    # they inherit the varying-axis type under shard_map (tiled queries)
     init = (
         jnp.int32(0),
-        jnp.full(pts.shape[:-1], jnp.inf, pts.dtype),
-        jnp.zeros(pts.shape[:-1], jnp.int32),
-        jnp.zeros(pts.shape[:-1], bool),
+        r_p * 0.0 + jnp.inf,
+        leaf_id * 0,
+        (leaf_id * 0) > 0,
     )
     _, _, win_ids, _ = jax.lax.while_loop(chunk_cond, chunk_step, init)
     return win_ids
@@ -508,6 +619,8 @@ def _build_exact(
     min_triangles_per_node: int,
     pair_budget: int = 1 << 21,
     strategy: str = "lattice",
+    futility: float | None = 0.8,
+    seed_cells: tuple[int, int] | None = None,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
     stats).
@@ -517,7 +630,18 @@ def _build_exact(
     cross the host boundary. The per-node triangle cull is selected by
     ``strategy``: "lattice" (house variant, 27 anchors + exact-distance
     cap — the tightest) or "basic" (reference BasicTrianglesInfluence
-    corner criterion, TrianglesInfluence.h:119-168)."""
+    corner criterion, TrianglesInfluence.h:119-168).
+
+    ``futility`` adds a termination rule the reference lacks
+    (ExactOctreeSdfDepthFirst.h:299-302 stops only at min-triangles or
+    max-depth): a node whose culled list keeps >= futility * its parent's
+    list becomes a leaf — subdividing it further cannot pay for itself.
+    Interior nodes equidistant from a shell of triangles are the case:
+    their lists barely shrink under subdivision, so without this rule they
+    subdivide to max depth and the denormalized bucket memory (and leaf
+    count) explodes with mesh size. Early termination anywhere is still
+    EXACT — the distance-sorted scan early-exits after ~1 chunk in such
+    leaves. None disables the rule (reference-shaped trees)."""
     if strategy not in _CULL_STRATEGIES:
         raise ValueError(
             f"strategy must be one of {_CULL_STRATEGIES}, got {strategy!r}"
@@ -529,19 +653,25 @@ def _build_exact(
     box_min = np.asarray(box_min, np.float32)
 
     s = 1 << start_depth
-    n0 = s * s * s
     cell = box_size / s
     zi, yi, xi = np.meshgrid(np.arange(s), np.arange(s), np.arange(s), indexing="ij")
-    centers = jnp.asarray(
-        np.stack(
-            [
-                box_min[0] + cell * (xi.ravel() + 0.5),
-                box_min[1] + cell * (yi.ravel() + 0.5),
-                box_min[2] + cell * (zi.ravel() + 0.5),
-            ],
-            axis=-1,
-        ).astype(np.float32)
-    )
+    centers_np = np.stack(
+        [
+            box_min[0] + cell * (xi.ravel() + 0.5),
+            box_min[1] + cell * (yi.ravel() + 0.5),
+            box_min[2] + cell * (zi.ravel() + 0.5),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    if seed_cells is not None:
+        # Tile-sharded build: seed only the start cells [lo, hi). The
+        # resulting structure is exactly the global build's subtrees for
+        # those cells, with a LOCAL flat node array whose start grid is
+        # the cell range (parallel/tiles.py routes queries by owner).
+        lo, hi = seed_cells
+        centers_np = centers_np[lo:hi]
+    n0 = centers_np.shape[0]
+    centers = jnp.asarray(centers_np)
 
     Tp = _round_pow2(T, 8)
     cand_idx = jnp.broadcast_to(
@@ -566,7 +696,9 @@ def _build_exact(
     # width — memory and compute track the actual list-size distribution.
     # group = (centers_dev (M,3), cand_idx_dev (M,Kg), cand_valid_dev,
     #          slots_np (M,))
-    groups = [(centers, cand_idx, cand_valid, np.arange(n0, dtype=np.int64))]
+    groups = [
+        (centers, cand_idx, cand_valid, np.arange(n0, dtype=np.int64), None)
+    ]
     half = 0.5 * cell
     depth = start_depth
 
@@ -575,7 +707,7 @@ def _build_exact(
         # children buckets: width -> list of (centers, cand, valid, slots)
         next_buckets: dict[int, list] = {}
 
-        for centers_g, cand_g, valid_g, slots_g in groups:
+        for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
             keeps_parts, kcount_parts, sqd_parts = [], [], []
@@ -620,6 +752,9 @@ def _build_exact(
             terminal = (kcounts <= min_triangles_per_node) | (
                 depth == max_depth
             )
+            if futility is not None and pkc_g is not None:
+                # Futility rule: subdividing barely shrank the list.
+                terminal |= kcounts >= futility * pkc_g
 
             t_idx = np.nonzero(terminal)[0]
             if len(t_idx):
@@ -673,7 +808,8 @@ def _build_exact(
                 ).reshape(-1, 3)
                 next_buckets.setdefault(w_int, []).append(
                     (new_centers, new_cand, new_valid,
-                     child_slots[m].reshape(-1))
+                     child_slots[m].reshape(-1),
+                     np.repeat(kc_sub[m], 8))
                 )
             del keeps
 
@@ -681,13 +817,14 @@ def _build_exact(
         groups = []
         for w, parts in sorted(next_buckets.items()):
             if len(parts) == 1:
-                cen, ci, cv, sl = parts[0]
+                cen, ci, cv, sl, pk = parts[0]
             else:
                 cen = jnp.concatenate([p[0] for p in parts])
                 ci = jnp.concatenate([p[1] for p in parts])
                 cv = jnp.concatenate([p[2] for p in parts])
                 sl = np.concatenate([p[3] for p in parts])
-            groups.append((cen, ci, cv, sl))
+                pk = np.concatenate([p[4] for p in parts])
+            groups.append((cen, ci, cv, sl, pk))
         half *= 0.5
         depth += 1
 
@@ -746,6 +883,78 @@ def _build_exact(
     return octree, leaf_offset, leaf_count, tri_flat, leaf_centers, stats
 
 
+def make_bucket_tables(
+    tri_flat,
+    leaf_count,
+    leaf_centers,
+    packed_fields,
+    *,
+    chunk: int = _LEAF_CHUNK,
+    byte_budget: int = 4 << 30,
+):
+    """Denormalized scan tables from a CSR leaf-list array: per-bucket
+    triangle ids (NB, CH), FIELD-MAJOR flat field rows (NB, 19*CH), and
+    the per-bucket min center distance (the early-exit key). Field-major
+    because the (slots, 19) triangle-major alternative would be
+    lane-padded 19 -> 128 by the TPU tiled layout (6.7x HBM blowup).
+    Field rows fall back to None above byte_budget (deep trees with fat
+    equidistant-shell leaves keep id-only buckets)."""
+    CH = chunk
+    ids = jnp.asarray(tri_flat).reshape(-1, CH)
+    packed_fields = jnp.asarray(packed_fields)
+    nf = packed_fields.shape[1]
+    nbytes = ids.size * nf * 4
+    if nbytes <= byte_budget:
+        safe = jnp.maximum(ids, 0)
+        mask = ids >= 0
+        per_field = [
+            jnp.where(mask, packed_fields[:, r][safe], 0.0)
+            for r in range(nf)
+        ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
+        bucket_fields = jnp.stack(per_field, axis=1).reshape(
+            ids.shape[0], nf * CH
+        )
+    else:
+        bucket_fields = None
+
+    # Which leaf owns each bucket, and the min distance from that leaf's
+    # center to the bucket's triangles. Lists are sorted by center
+    # distance, so bucket_cmin is non-decreasing within a leaf — the
+    # query's early-exit bound.
+    cnts = np.asarray(leaf_count)
+    # tri_flat spans are padded to _LEAF_CHUNK at build time; a leaf owns
+    # its padded span's worth of CH-wide buckets, not ceil(cnt/CH).
+    spans = (
+        (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH)
+    ).astype(np.int64)
+    bucket_leaf = np.repeat(
+        np.arange(len(cnts), dtype=np.int32), spans
+    )[: ids.shape[0]]
+    if len(bucket_leaf) < ids.shape[0]:
+        bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
+    cen_b = jnp.asarray(leaf_centers)[jnp.asarray(bucket_leaf)]
+    # chunk over bucket rows: the distance eval holds ~25 (C, CH)
+    # temporaries, so a full-NB sweep would transiently eat several GB
+    C = 1 << 17
+    parts = []
+    for i in range(0, ids.shape[0], C):
+        ids_c = ids[i : i + C]
+        cen_c = cen_b[i : i + C]
+        if bucket_fields is not None:
+            bf = bucket_fields[i : i + C].reshape(ids_c.shape[0], nf, CH)
+            field_fn = lambda r: bf[:, r, :]
+        else:
+            safe = jnp.maximum(ids_c, 0)
+            field_fn = lambda r: packed_fields[:, r][safe]
+        sqd = sq_dist_from_field_fn(
+            cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
+        )
+        sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
+        parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
+    bucket_cmin = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return ids, bucket_fields, bucket_cmin
+
+
 class ExactOctreeSdf(SdfFunction):
     """Octree whose leaves store exact nearest-triangle candidate lists."""
 
@@ -757,6 +966,7 @@ class ExactOctreeSdf(SdfFunction):
         start_depth: int = 2,
         min_triangles_per_node: int = 128,
         strategy: str = "lattice",
+        futility: float | None = 0.8,
         _state: dict | None = None,
     ):
         if _state is not None:
@@ -782,6 +992,7 @@ class ExactOctreeSdf(SdfFunction):
                 self.start_depth,
                 self.min_triangles_per_node,
                 strategy=self.strategy,
+                futility=futility,
             )
         )
         self.octree_data = jnp.asarray(octree)
@@ -792,6 +1003,7 @@ class ExactOctreeSdf(SdfFunction):
         self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
         self.scan_chunk = _LEAF_CHUNK
+        self._group_width_cache = {}
         self._make_buckets()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
@@ -804,69 +1016,17 @@ class ExactOctreeSdf(SdfFunction):
     def _make_buckets(self):
         """Denormalized per-bucket triangle ids + packed distance fields
         (derived from tri_flat ON DEVICE; recomputed on load, never
-        serialized). Buckets are FIELD-MAJOR flat rows (NB, 19*CH): the
-        (slots, 19) triangle-major alternative would be lane-padded
-        19 -> 128 by the TPU tiled layout, a 6.7x HBM blowup. Falls back
-        to id-only buckets when even the flat fields exceed the budget
-        (deep trees with fat equidistant-shell leaves)."""
-        CH = self.scan_chunk
-        ids = jnp.asarray(self.tri_flat).reshape(-1, CH)
+        serialized). See make_bucket_tables."""
         self.packed_fields = pack_triangle_fields(self.triangles)
-        self.bucket_ids = ids
-        nf = self.packed_fields.shape[1]
-        nbytes = ids.size * nf * 4
-        if nbytes <= self._BUCKET_BYTE_BUDGET:
-            safe = jnp.maximum(ids, 0)
-            mask = ids >= 0
-            per_field = [
-                jnp.where(mask, self.packed_fields[:, r][safe], 0.0)
-                for r in range(nf)
-            ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
-            self.bucket_fields = jnp.stack(per_field, axis=1).reshape(
-                ids.shape[0], nf * CH
+        self.bucket_ids, self.bucket_fields, self.bucket_cmin = (
+            make_bucket_tables(
+                self.tri_flat,
+                self.leaf_count,
+                self.leaf_centers,
+                self.packed_fields,
+                chunk=self.scan_chunk,
+                byte_budget=self._BUCKET_BYTE_BUDGET,
             )
-        else:
-            self.bucket_fields = None
-
-        # Which leaf owns each bucket, and the min distance from that
-        # leaf's center to the bucket's triangles. Lists are sorted by
-        # center distance, so bucket_cmin is non-decreasing within a leaf
-        # — the query's early-exit bound.
-        offs = np.asarray(self.leaf_offset)
-        cnts = np.asarray(self.leaf_count)
-        # tri_flat spans are padded to _LEAF_CHUNK at build time; a leaf
-        # owns its padded span's worth of CH-wide buckets, not ceil(cnt/CH).
-        spans = (
-            (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH)
-        ).astype(np.int64)
-        bucket_leaf = np.repeat(
-            np.arange(len(offs), dtype=np.int32), spans
-        )[: ids.shape[0]]
-        if len(bucket_leaf) < ids.shape[0]:
-            bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
-        cen_b = jnp.asarray(self.leaf_centers)[jnp.asarray(bucket_leaf)]
-        # chunk over bucket rows: the distance eval holds ~25 (C, CH)
-        # temporaries, so a full-NB sweep would transiently eat several GB
-        C = 1 << 17
-        parts = []
-        for i in range(0, ids.shape[0], C):
-            ids_c = ids[i : i + C]
-            cen_c = cen_b[i : i + C]
-            if self.bucket_fields is not None:
-                bf = self.bucket_fields[i : i + C].reshape(
-                    ids_c.shape[0], nf, CH
-                )
-                field_fn = lambda r: bf[:, r, :]
-            else:
-                safe = jnp.maximum(ids_c, 0)
-                field_fn = lambda r: self.packed_fields[:, r][safe]
-            sqd = sq_dist_from_field_fn(
-                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
-            )
-            sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
-            parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
-        self.bucket_cmin = (
-            jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         )
 
     # -- queries ----------------------------------------------------------------
@@ -928,62 +1088,21 @@ class ExactOctreeSdf(SdfFunction):
             levels=self.max_depth - self.start_depth,
         )
 
-    def _scan_grouped(self, pts_s, lid_s, max_cnt: int):
-        """Dense-bucket scan at group granularity (see _exact_scan_grouped).
-
-        The group width G adapts to the measured points-per-touched-leaf
-        density (one scalar sync): oversized groups run mostly empty and
-        inflate the pairwise-eval volume — the measured cost floor — by
-        1/fill, while undersized groups only add (cheap, latency-bound)
-        gathers. A second scalar sync right-sizes the group arrays;
-        shapes are bucketed to powers of two for the compile cache."""
-        P = pts_s.shape[0]
-        n_leaves = int(jnp.sum(lid_s[1:] != lid_s[:-1])) + 1   # sync 1
-        avg = max(1, P // max(n_leaves, 1))
-        G = min(64, max(8, _round_pow2(avg, 1)))
-        gid, lane = _assign_groups(lid_s, G=G)
-        n_groups = int(gid[-1]) + 1                            # sync 2
-        NG = _round_pow2(n_groups, 64)
-        gpts, gvalid, gleaf, slot = _scatter_groups(
-            pts_s, lid_s, gid, lane, G=G, NG=NG
-        )
-        # Order groups by list length: a scan block's while_loop runs until
-        # its WORST group finishes, so mixing fat and thin leaves makes
-        # finished groups keep paying (masked) evals. Length-sorted blocks
-        # converge uniformly — iteration waste drops to the padding level.
-        order_g = jnp.argsort(self.leaf_count[gleaf])
-        gpts = gpts[order_g]
-        gvalid = gvalid[order_g]
-        gleaf = gleaf[order_g]
-        CH = self.scan_chunk
-        max_chunks = -(-max_cnt // CH)
-        # largest power of two within the pair budget (divides NG exactly)
-        NB = 64
-        while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
-            NB *= 2
-        NB = min(NB, NG)
-        win_parts = []
-        for i in range(0, NG, NB):
-            win_parts.append(
-                _exact_scan_grouped(
-                    self.leaf_offset,
-                    self.leaf_count,
-                    self.leaf_centers,
-                    self.bucket_ids,
-                    self.bucket_fields,
-                    self.bucket_cmin,
-                    jax.lax.dynamic_slice_in_dim(gpts, i, NB),
-                    jax.lax.dynamic_slice_in_dim(gvalid, i, NB),
-                    jax.lax.dynamic_slice_in_dim(gleaf, i, NB),
-                    max_chunks=max_chunks,
-                    early_exit=self._sorted_lists,
-                )
-            )
-        win = (
-            jnp.concatenate(win_parts) if len(win_parts) > 1 else win_parts[0]
-        )
-        win = jnp.zeros_like(win).at[order_g].set(win)  # undo length sort
-        return win.reshape(-1)[slot]
+    def _pick_group_width(self, flat_p, Pp: int) -> int:
+        """Group width from the measured points-per-touched-leaf density,
+        cached per padded batch size (the one data-dependent decision the
+        fused query cannot make without a host sync). Oversized groups run
+        mostly empty and inflate the pairwise-eval volume by 1/fill;
+        undersized groups only add cheap gathers."""
+        G = self._group_width_cache.get(Pp)
+        if G is None:
+            leaf_id, _ = self._descend(flat_p)
+            lid_s = jnp.sort(leaf_id)
+            n_leaves = int(jnp.sum(lid_s[1:] != lid_s[:-1])) + 1
+            avg = max(1, Pp // max(n_leaves, 1))
+            G = min(64, max(8, _round_pow2(avg, 1)))
+            self._group_width_cache[Pp] = G
+        return G
 
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
@@ -995,18 +1114,51 @@ class ExactOctreeSdf(SdfFunction):
         Pp = -(-max(P, 1) // B) * B
         flat_p = jnp.pad(flat, [(0, Pp - P), (0, 0)])
 
-        leaf_id, in_box = self._descend(flat_p)
-        # Leaf-coherent processing: sorting by leaf id lets whole scan
-        # blocks share their leaf's (sorted, early-exiting) chunk count —
-        # incoherent blocks otherwise pay the worst point's chunks.
-        order = jnp.argsort(leaf_id)
-        pts_s = flat_p[order]
-        lid_s = leaf_id[order]
-
-        dense = self.bucket_fields is not None
-        if dense:
-            win_s = self._scan_grouped(pts_s, lid_s, max_cnt)
+        if self.bucket_fields is not None:
+            G = self._pick_group_width(flat_p, Pp)
+            L = int(self.leaf_offset.shape[0])
+            # static bound on groups: sum over leaves of ceil(n_l/G)
+            NG = _round_pow2(min(Pp, Pp // G + L), 64)
+            CH = self.scan_chunk
+            max_chunks = -(-max_cnt // CH)
+            NB = 64  # largest power of two within the pair budget
+            while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
+                NB *= 2
+            NB = min(NB, NG)
+            use_grid = self._leaf_grid is not None
+            out, iters = _exact_query_fused(
+                self.octree_data,
+                self._leaf_grid if use_grid else jnp.zeros(8, jnp.int32),
+                self.leaf_offset,
+                self.leaf_count,
+                self.leaf_centers,
+                self.bucket_ids,
+                self.bucket_fields,
+                self.bucket_cmin,
+                self.triangles,
+                flat_p,
+                jnp.asarray(self.box.min),
+                jnp.float32(self.box.size[0]),
+                use_grid=use_grid,
+                grid_depth=self.max_depth,
+                levels=self.max_depth - self.start_depth,
+                start_grid_size=self.start_grid_size,
+                G=G,
+                NG=NG,
+                NB=NB,
+                max_chunks=max_chunks,
+                early_exit=self._sorted_lists,
+                with_gradient=with_gradient,
+            )
+            # diagnostics for roofline accounting (device array, unsynced)
+            self._last_scan_stats = {
+                "G": G, "NG": NG, "NB": NB, "CH": CH, "block_iters": iters,
+            }
         else:
+            leaf_id, in_box = self._descend(flat_p)
+            order = jnp.argsort(leaf_id)
+            pts_s = flat_p[order]
+            lid_s = leaf_id[order]
             max_chunks = -(-max_cnt // _LEAF_CHUNK)
             win_parts = []
             for i in range(0, Pp, B):
@@ -1030,17 +1182,16 @@ class ExactOctreeSdf(SdfFunction):
                 if len(win_parts) > 1
                 else win_parts[0]
             )
-        win_ids = jnp.zeros_like(win_s).at[order].set(win_s)
-
-        out = _exact_finish(
-            self.triangles,
-            flat_p,
-            win_ids,
-            in_box,
-            jnp.asarray(self.box.min),
-            jnp.float32(self.box.size[0]),
-            with_gradient=with_gradient,
-        )
+            win_ids = jnp.zeros_like(win_s).at[order].set(win_s)
+            out = _exact_finish(
+                self.triangles,
+                flat_p,
+                win_ids,
+                in_box,
+                jnp.asarray(self.box.min),
+                jnp.float32(self.box.size[0]),
+                with_gradient=with_gradient,
+            )
         if with_gradient:
             d, g = out
             return (
@@ -1115,6 +1266,7 @@ class ExactOctreeSdf(SdfFunction):
         )
         self.build_stats = {}
         self.scan_chunk = _LEAF_CHUNK
+        self._group_width_cache = {}
         self._make_buckets()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:

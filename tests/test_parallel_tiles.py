@@ -1,0 +1,56 @@
+"""Octree-tile sharding: per-chip structure ~1/N, results match the
+replicated structure (SURVEY.md S5.7-5.8 scaling axis)."""
+import numpy as np
+import pytest
+
+import jax
+
+from sdflib_tpu.parallel.mesh import default_mesh
+from sdflib_tpu.parallel.tiles import TiledExactOctreeSdf
+from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+from sdflib_tpu.utils.primitives import make_torus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=2, min_triangles_per_node=16)
+    rep = ExactOctreeSdf(mesh, box, **kw)
+    tiled = TiledExactOctreeSdf(mesh, box, **kw)
+    return mesh, rep, tiled
+
+
+def test_tiled_matches_replicated(setup):
+    mesh, rep, tiled = setup
+    rng = np.random.default_rng(0)
+    lo = np.asarray(rep.box.min) - 0.1       # includes out-of-box points
+    hi = np.asarray(rep.box.max) + 0.1
+    pts = rng.uniform(lo, hi, (8192, 3)).astype(np.float32)
+    d_rep = np.asarray(rep.get_distance(pts))
+    d_til = np.asarray(tiled.get_distance(pts))
+    np.testing.assert_array_equal(d_rep, d_til)
+
+
+def test_tiled_structure_is_sharded(setup):
+    _, rep, tiled = setup
+    n_dev = len(jax.devices())
+    assert tiled.arrays["bucket_fields"].shape[0] == n_dev
+    # each shard's bucket table is a fraction of the replicated one's
+    rep_rows = int(rep.bucket_ids.shape[0])
+    per_shard_rows = int(tiled.arrays["bucket_ids"].shape[1])
+    assert per_shard_rows < rep_rows
+    # every stacked array is placed with the tile axis over the mesh
+    for name, arr in tiled.arrays.items():
+        spec = arr.sharding.spec
+        assert spec and spec[0] is not None, name
+
+
+def test_tiled_shard_determinism(setup):
+    """Same query twice -> bit-identical (the psum routing is static)."""
+    _, _, tiled = setup
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-0.4, 0.4, (2048, 3)).astype(np.float32)
+    a = np.asarray(tiled.get_distance(pts))
+    b = np.asarray(tiled.get_distance(pts))
+    np.testing.assert_array_equal(a, b)

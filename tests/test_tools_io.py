@@ -227,3 +227,37 @@ def test_trace_bin_imported_octree(tmp_path):
     np.testing.assert_allclose(
         np.asarray(r0.depth), np.asarray(r1.depth), atol=1e-6
     )
+
+
+def test_view_pick_prints_cell_stats(tmp_path, mesh_file, capsys):
+    """--pick parity with SdfViewer node selection: triangle lists for
+    exact octrees, per-cell RMSE/MAE, influence-region OBJ
+    (reference src/tools/SdfViewer/main.cpp:699-700)."""
+    from sdflib_tpu.mesh import load_mesh
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+
+    mesh = load_mesh(mesh_file)
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=3, start_depth=1, min_triangles_per_node=16
+    )
+    sdf_path = str(tmp_path / "pick.npz")
+    ex.save(sdf_path)
+
+    surf = mesh.vertices[0] * 0.999
+    obj_path = str(tmp_path / "region.obj")
+    rc = sdf_view.main([
+        sdf_path, f"--pick={surf[0]},{surf[1]},{surf[2]}",
+        "--pick_region", obj_path,
+        "--error_vs", mesh_file, "--pick_samples", "512",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "influence triangles" in out
+    assert "Picked-cell RMSE" in out
+    # the picked cell of an EXACT structure has zero error vs brute force
+    rmse = float(out.split("Picked-cell RMSE:")[1].splitlines()[0])
+    assert rmse < 1e-5
+    with open(obj_path) as f:
+        obj = f.read()
+    assert obj.count("\nf ") > 0 and obj.count("\nl ") == 12
