@@ -32,6 +32,8 @@ __all__ = [
     "signed_dist_pair",
     "signed_dist_grad_pair",
     "sq_dist_naive",
+    "sq_dist_naive_from_cols",
+    "sq_dist_from_vertex_cols",
     "nearest_triangle",
     "signed_distance_batch",
     "signed_distance_grad_batch",
@@ -304,6 +306,145 @@ def sq_dist_from_field_fn(px, py, pz, f):
 def sq_dist_packed(px, py, pz, fields):
     """sq_dist_from_field_fn with fields (..., 19) on the trailing axis."""
     return sq_dist_from_field_fn(px, py, pz, lambda r: fields[..., r])
+
+
+def sq_dist_from_vertex_cols(px, py, pz, v):
+    """EXACT region-classified squared distance derived on the fly from a
+    vertex-format column accessor (``v(r)`` -> component r of
+    [ax ay az bx by bz cx cy cz]).
+
+    The triangle frame (TriangleUtils.h:23-41) is an orthonormal basis
+    (sx = normalize(e1), sz = normalize(e1 x e2), sy = sz x sx), so the
+    frame transform's inverse is its transpose — the projected point and
+    the b/c edge directions come straight from dot products, and the
+    region ladder is the same as sq_dist_from_field_fn. This makes
+    vertex-format scan buckets (9 floats/triangle, 2.1x smaller than the
+    19-field rows) selection-exact: the naive 3-vertex formula is NOT
+    usable for selection — its inside/outside classification flips near
+    shared-edge boundaries and underestimates by ~1e-4, enough to pick
+    the wrong winner. Frame derivation costs ~60 flops per triangle,
+    amortized over every point in the group."""
+    ax, ay, az = v(0), v(1), v(2)
+    bx, by, bz = v(3), v(4), v(5)
+    cx, cy, cz = v(6), v(7), v(8)
+
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+
+    il1 = jax.lax.rsqrt(e1x * e1x + e1y * e1y + e1z * e1z)
+    sxx, sxy, sxz = e1x * il1, e1y * il1, e1z * il1
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    iln = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz)
+    szx, szy, szz = nx * iln, ny * iln, nz * iln
+    syx = szy * sxz - szz * sxy
+    syy = szz * sxx - szx * sxz
+    syz = szx * sxy - szy * sxx
+
+    dx, dy, dz = px - ax, py - ay, pz - az
+    ppx = sxx * dx + sxy * dy + sxz * dz
+    ppy = syx * dx + syy * dy + syz * dz
+    ppz = szx * dx + szy * dy + szz * dz
+
+    v2x = sxx * e1x + sxy * e1y + sxz * e1z      # = |e1|
+    v3x = sxx * e2x + sxy * e2y + sxz * e2z
+    v3y = syx * e2x + syy * e2y + syz * e2z
+
+    # b = normalize2(frame * (v3 - v2)); c = normalize2(frame * (v1 - v3))
+    bx2, by2 = v3x - v2x, v3y
+    ilb = jax.lax.rsqrt(bx2 * bx2 + by2 * by2)
+    b0, b1 = bx2 * ilb, by2 * ilb
+    cx2, cy2 = -v3x, -v3y
+    ilc = jax.lax.rsqrt(cx2 * cx2 + cy2 * cy2)
+    c0, c1 = cx2 * ilc, cy2 * ilc
+
+    # Region ladder — identical structure/tie-breaking to
+    # sq_dist_from_field_fn (TriangleUtils.h:76-135).
+    de1 = -ppy
+    de2 = (ppx - v2x) * b1 - ppy * b0
+    de3 = ppx * c1 - ppy * c0
+    z2 = ppz * ppz
+
+    d_v1 = ppx * ppx + ppy * ppy + z2
+    rx2 = ppx - v2x
+    d_v2 = rx2 * rx2 + ppy * ppy + z2
+    rx3, ry3 = ppx - v3x, ppy - v3y
+    d_v3 = rx3 * rx3 + ry3 * ry3 + z2
+
+    r1 = jnp.where(
+        ppx <= 0.0, d_v1, jnp.where(ppx >= v2x, d_v2, de1 * de1 + z2)
+    )
+    dot_b_v2 = rx2 * b0 + ppy * b1
+    dot_b_v3 = rx3 * b0 + ry3 * b1
+    r2 = jnp.where(
+        dot_b_v2 <= 0.0, d_v2, jnp.where(dot_b_v3 >= 0.0, d_v3, de2 * de2 + z2)
+    )
+    dot_c_v1 = ppx * c0 + ppy * c1
+    dot_c_v3 = rx3 * c0 + ry3 * c1
+    r3 = jnp.where(
+        dot_c_v1 >= 0.0, d_v1, jnp.where(dot_c_v3 <= 0.0, d_v3, de3 * de3 + z2)
+    )
+    return jnp.where(
+        de1 >= 0.0, r1, jnp.where(de2 >= 0.0, r2, jnp.where(de3 >= 0.0, r3, z2))
+    )
+
+
+def sq_dist_naive_from_cols(px, py, pz, v):
+    """Naive 3-vertex squared distance (TriangleUtils.h:383-401) from a
+    column accessor: ``v(r)`` returns component r of the vertex-format
+    row [ax ay az bx by bz cx cy cz], broadcastable against px/py/pz.
+    Same formula as sq_dist_naive, componentized so vertex-format scan
+    buckets (9 floats/triangle — 2.1x smaller than the 19-field frame
+    rows) evaluate without any relayout. Used for CANDIDATE SELECTION
+    only; the winner is re-evaluated with the frame kernel, so parity of
+    the final distance holds to fp rounding."""
+    ax, ay, az = v(0), v(1), v(2)
+    bx, by, bz = v(3), v(4), v(5)
+    cx, cy, cz = v(6), v(7), v(8)
+
+    bax, bay, baz = bx - ax, by - ay, bz - az
+    pax, pay, paz = px - ax, py - ay, pz - az
+    cbx, cby, cbz = cx - bx, cy - by, cz - bz
+    pbx, pby, pbz = px - bx, py - by, pz - bz
+    acx, acy, acz = ax - cx, ay - cy, az - cz
+    pcx, pcy, pcz = px - cx, py - cy, pz - cz
+
+    nx = bay * acz - baz * acy
+    ny = baz * acx - bax * acz
+    nz = bax * acy - bay * acx
+
+    def edge(ex, ey, ez, rx, ry, rz):
+        ee = ex * ex + ey * ey + ez * ez
+        t = jnp.clip((ex * rx + ey * ry + ez * rz) / ee, 0.0, 1.0)
+        dx = ex * t - rx
+        dy = ey * t - ry
+        dz = ez * t - rz
+        return dx * dx + dy * dy + dz * dz
+
+    def side(ex, ey, ez, rx, ry, rz):
+        # sign(dot(cross(edge, normal), rel))
+        sx = ey * nz - ez * ny
+        sy = ez * nx - ex * nz
+        sz = ex * ny - ey * nx
+        return jnp.sign(sx * rx + sy * ry + sz * rz)
+
+    outside = (
+        side(bax, bay, baz, pax, pay, paz)
+        + side(cbx, cby, cbz, pbx, pby, pbz)
+        + side(acx, acy, acz, pcx, pcy, pcz)
+    ) < 2.0
+    edge_d = jnp.minimum(
+        jnp.minimum(
+            edge(bax, bay, baz, pax, pay, paz),
+            edge(cbx, cby, cbz, pbx, pby, pbz),
+        ),
+        edge(acx, acy, acz, pcx, pcy, pcz),
+    )
+    dn = nx * pax + ny * pay + nz * paz
+    n2 = nx * nx + ny * ny + nz * nz
+    face_d = dn * dn / n2
+    return jnp.where(outside, edge_d, face_d)
 
 
 def sq_dist_naive(p, a, b, c):

@@ -40,9 +40,21 @@ from ..ops.point_triangle import (
     signed_dist_grad_pair,
     signed_dist_pair,
     sq_dist_from_field_fn,
+    sq_dist_from_vertex_cols,
     sq_dist_packed,
     sq_dist_pair,
 )
+
+
+def _bucket_sqdist(px, py, pz, field_fn, nf: int):
+    """Squared distances from a bucket-row column accessor. 19-field
+    frame rows use the region-classified kernel directly; 9-float vertex
+    rows (the memory-scalable tier) derive the same frame on the fly
+    (sq_dist_from_vertex_cols) — amortized over the group, and
+    selection-exact where the naive 3-vertex formula is not."""
+    if nf == 9:
+        return sq_dist_from_vertex_cols(px, py, pz, field_fn)
+    return sq_dist_from_field_fn(px, py, pz, field_fn)
 from .octree import _build_leaf_grid, _select8
 from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
 from .sdf_function import SdfFormat, SdfFunction
@@ -347,13 +359,13 @@ def _exact_scan_grouped(
         active = ((i * CH) < cnt) & ~grp_done
         brow = jnp.where(active, bucket0 + i, 0)
         tri_ids = bucket_ids[brow]                    # (NG, CH) row gather
-        fields = bucket_fields[brow]                  # (NG, 19*CH)
-        # 2D column slices, NOT a (NG, 19, CH) reshape: splitting the lane
+        fields = bucket_fields[brow]                  # (NG, nf*CH)
+        # 2D column slices, NOT a (NG, nf, CH) reshape: splitting the lane
         # dim into sublanes is a relayout copy the TPU pays every loop
-        # iteration (measured ~10 ms per iteration at NB=16k — the whole
-        # scan cost); lane slices fuse into the arithmetic for free.
+        # iteration; lane slices fuse into the arithmetic for free.
         field_fn = lambda r: fields[:, None, r * CH : (r + 1) * CH]
-        sqd = sq_dist_from_field_fn(px, py, pz, field_fn)  # (NG, G, CH)
+        nf = bucket_fields.shape[1] // CH
+        sqd = _bucket_sqdist(px, py, pz, field_fn, nf)  # (NG, G, CH)
         valid = (tri_ids >= 0)[:, None, :] & active[:, None, None]
         sqd = jnp.where(valid, sqd, jnp.inf)
         local = jnp.min(sqd, axis=-1)                 # (NG, G)
@@ -541,14 +553,16 @@ def _exact_scan(
         brow = jnp.where(active, bucket0 + i, 0)
         tri_ids = bucket_ids[brow]                       # (P, CH) row gather
         if dense_buckets:
-            fields = bucket_fields[brow]                 # (P, 19*CH)
+            fields = bucket_fields[brow]                 # (P, nf*CH)
             # lane slices, not a 3D reshape (lane->sublane relayout copy)
             field_fn = lambda r: fields[..., r * CH : (r + 1) * CH]
+            nf = bucket_fields.shape[1] // CH
         else:  # memory-light: per-field element gathers from (T, 19)
             safe = jnp.maximum(tri_ids, 0)
             field_fn = lambda r: bucket_fields[:, r][safe]
+            nf = bucket_fields.shape[1]
         valid = (tri_ids >= 0) & active[..., None]
-        sqd = sq_dist_from_field_fn(px, py, pz, field_fn)  # (P, CH)
+        sqd = _bucket_sqdist(px, py, pz, field_fn, nf)   # (P, CH)
         sqd = jnp.where(valid, sqd, jnp.inf)
         local = jnp.min(sqd, axis=-1)
         local_id = jnp.take_along_axis(
@@ -888,27 +902,44 @@ def make_bucket_tables(
     leaf_count,
     leaf_centers,
     packed_fields,
+    vworld=None,
     *,
     chunk: int = _LEAF_CHUNK,
     byte_budget: int = 4 << 30,
+    bucket_format: str = "auto",
 ):
     """Denormalized scan tables from a CSR leaf-list array: per-bucket
-    triangle ids (NB, CH), FIELD-MAJOR flat field rows (NB, 19*CH), and
-    the per-bucket min center distance (the early-exit key). Field-major
-    because the (slots, 19) triangle-major alternative would be
-    lane-padded 19 -> 128 by the TPU tiled layout (6.7x HBM blowup).
-    Field rows fall back to None above byte_budget (deep trees with fat
-    equidistant-shell leaves keep id-only buckets)."""
+    triangle ids (NB, CH), FIELD-MAJOR flat field rows, and the per-bucket
+    min center distance (the early-exit key). Field-major because the
+    (slots, nf) triangle-major alternative would be lane-padded nf -> 128
+    by the TPU tiled layout (a multi-x HBM blowup).
+
+    Three storage tiers by memory (the denormalization replicates each
+    triangle once per leaf list containing it, so bytes scale with the
+    SUM of list lengths — the binding constraint at 100k+ triangles):
+      1. 19-field frame rows (76 B/slot): exact region-classified scan;
+      2. 9-float vertex rows (36 B/slot): candidate selection via the
+         naive 3-vertex formula (TriangleUtils.h:383-401) — the winner is
+         re-evaluated with the frame kernel, so final distances agree to
+         fp rounding;
+      3. None: id-only buckets, per-field element-gather fallback."""
     CH = chunk
     ids = jnp.asarray(tri_flat).reshape(-1, CH)
     packed_fields = jnp.asarray(packed_fields)
     nf = packed_fields.shape[1]
-    nbytes = ids.size * nf * 4
-    if nbytes <= byte_budget:
+    want19 = bucket_format in ("auto", "frame19")
+    if want19 and ids.size * nf * 4 <= byte_budget:
+        source = packed_fields
+    elif vworld is not None and ids.size * 9 * 4 <= byte_budget:
+        source = jnp.asarray(vworld).reshape(-1, 9)
+        nf = 9
+    else:
+        source = None
+    if source is not None:
         safe = jnp.maximum(ids, 0)
         mask = ids >= 0
         per_field = [
-            jnp.where(mask, packed_fields[:, r][safe], 0.0)
+            jnp.where(mask, source[:, r][safe], 0.0)
             for r in range(nf)
         ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
         bucket_fields = jnp.stack(per_field, axis=1).reshape(
@@ -941,14 +972,17 @@ def make_bucket_tables(
         ids_c = ids[i : i + C]
         cen_c = cen_b[i : i + C]
         if bucket_fields is not None:
-            bf = bucket_fields[i : i + C].reshape(ids_c.shape[0], nf, CH)
-            field_fn = lambda r: bf[:, r, :]
+            bf = bucket_fields[i : i + C]
+            field_fn = lambda r: bf[:, r * CH : (r + 1) * CH]
+            sqd = _bucket_sqdist(
+                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn, nf
+            )
         else:
             safe = jnp.maximum(ids_c, 0)
             field_fn = lambda r: packed_fields[:, r][safe]
-        sqd = sq_dist_from_field_fn(
-            cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
-        )
+            sqd = sq_dist_from_field_fn(
+                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
+            )
         sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
         parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
     bucket_cmin = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
@@ -1024,8 +1058,10 @@ class ExactOctreeSdf(SdfFunction):
                 self.leaf_count,
                 self.leaf_centers,
                 self.packed_fields,
+                self.triangles.v_world,
                 chunk=self.scan_chunk,
                 byte_budget=self._BUCKET_BYTE_BUDGET,
+                bucket_format=getattr(self, "bucket_format", "auto"),
             )
         )
 

@@ -161,3 +161,32 @@ def test_scan_chunk_rechunk_matches():
     ex.set_scan_chunk(16)
     d16 = np.asarray(ex.get_distance(pts))
     np.testing.assert_array_equal(d64, d16)
+
+
+def test_vertex_format_tier_stays_exact(monkeypatch):
+    """When 19-field buckets exceed the byte budget, the 9-float vertex
+    tier must keep queries exact (naive-formula selection + frame-kernel
+    finish)."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
+    full = ExactOctreeSdf(mesh, box, **kw)
+    slots = int(full.bucket_ids.size)
+    # budget fits 9-float rows but not 19-field rows
+    monkeypatch.setattr(
+        ExactOctreeSdf, "_BUCKET_BYTE_BUDGET", slots * 4 * 12
+    )
+    vex = ExactOctreeSdf(mesh, box, **kw)
+    assert vex.bucket_fields is not None
+    assert vex.bucket_fields.shape[1] == 9 * vex.scan_chunk
+
+    real = RealSdf(mesh)
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(vex.box.min + 1e-4, vex.box.max - 1e-4, (4096, 3)).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(vex.get_distance(pts)),
+        np.asarray(real.get_distance(pts)),
+        rtol=1e-5, atol=2e-6,
+    )
