@@ -38,6 +38,8 @@ __all__ = [
     "signed_distance_batch",
     "signed_distance_grad_batch",
     "pack_triangle_fields",
+    "pack_triangle_full_fields",
+    "signed_dist_from_rows",
     "sq_dist_packed",
     "sq_dist_from_field_fn",
     "NUM_PACKED_FIELDS",
@@ -306,6 +308,106 @@ def sq_dist_from_field_fn(px, py, pz, f):
 def sq_dist_packed(px, py, pz, fields):
     """sq_dist_from_field_fn with fields (..., 19) on the trailing axis."""
     return sq_dist_from_field_fn(px, py, pz, lambda r: fields[..., r])
+
+
+# Extended 37-float record (the TriangleData serialization layout,
+# TriangleUtils.h:50-54): packed 19 fields + 3 transformed edge
+# pseudonormals + 3 transformed vertex pseudonormals.
+NUM_FULL_FIELDS = 37
+_F_EDGE_N = 19      # 19:28  edges_normal, 3 x 3
+_F_VERT_N = 28      # 28:37  vertices_normal, 3 x 3
+
+
+def pack_triangle_full_fields(tris: TriangleDataSoA):
+    """(T, 37) fp32 matrix: everything the SIGNED evaluation needs in one
+    gatherable row. The winner-evaluation step previously gathered ~12
+    separate SoA arrays per point (12 row-gather passes — measured as the
+    dominant cost of the whole exact query at 2M points); one fused row
+    makes it a single pass."""
+    t = jax.tree.map(jnp.asarray, tris)
+    base = pack_triangle_fields(t)                      # (T, 19)
+    en = t.edges_normal.reshape(-1, 9)
+    vn = t.vertices_normal.reshape(-1, 9)
+    return jnp.concatenate([base, en, vn], axis=1).astype(jnp.float32)
+
+
+def signed_dist_from_rows(px, py, pz, f):
+    """Signed distance from a 37-field row accessor (``f(r)`` returns
+    column r broadcastable against px/py/pz). Same region classification,
+    tie-breaking, and pseudonormal sign logic as signed_dist_pair
+    (TriangleUtils.h:137-196), columnized so the winner evaluation is one
+    row gather + elementwise math."""
+    dx = px - f(_F_ORIGIN)
+    dy = py - f(_F_ORIGIN + 1)
+    dz = pz - f(_F_ORIGIN + 2)
+    ppx = f(_F_TRANSFORM + 0) * dx + f(_F_TRANSFORM + 1) * dy + f(_F_TRANSFORM + 2) * dz
+    ppy = f(_F_TRANSFORM + 3) * dx + f(_F_TRANSFORM + 4) * dy + f(_F_TRANSFORM + 5) * dz
+    ppz = f(_F_TRANSFORM + 6) * dx + f(_F_TRANSFORM + 7) * dy + f(_F_TRANSFORM + 8) * dz
+
+    b0, b1 = f(_F_B), f(_F_B + 1)
+    c0, c1 = f(_F_C), f(_F_C + 1)
+    v2x = f(_F_V2X)
+    v3x, v3y = f(_F_V3), f(_F_V3 + 1)
+
+    de1 = -ppy
+    de2 = (ppx - v2x) * b1 - ppy * b0
+    de3 = ppx * c1 - ppy * c0
+    z2 = ppz * ppz
+
+    rx2 = ppx - v2x
+    rx3, ry3 = ppx - v3x, ppy - v3y
+    d_v1 = ppx * ppx + ppy * ppy + z2
+    d_v2 = rx2 * rx2 + ppy * ppy + z2
+    d_v3 = rx3 * rx3 + ry3 * ry3 + z2
+
+    def vdot(base, rx, ry, rz):
+        return f(base) * rx + f(base + 1) * ry + f(base + 2) * rz
+
+    # per-region (sq distance, pseudonormal dot) pairs; the where-ladder
+    # mirrors region_code exactly (TriangleUtils.h:84-134)
+    s_v1 = vdot(_F_VERT_N + 0, ppx, ppy, ppz)
+    s_v2 = vdot(_F_VERT_N + 3, rx2, ppy, ppz)
+    s_v3 = vdot(_F_VERT_N + 6, rx3, ry3, ppz)
+    s_e1 = vdot(_F_EDGE_N + 0, ppx, ppy, ppz)
+    s_e2 = vdot(_F_EDGE_N + 3, rx2, ppy, ppz)
+    s_e3 = vdot(_F_EDGE_N + 6, ppx, ppy, ppz)
+
+    dot_b_v2 = rx2 * b0 + ppy * b1
+    dot_b_v3 = rx3 * b0 + ry3 * b1
+    dot_c_v1 = ppx * c0 + ppy * c1
+    dot_c_v3 = rx3 * c0 + ry3 * c1
+
+    in_r1 = de1 >= 0.0
+    in_r2 = ~in_r1 & (de2 >= 0.0)
+    in_r3 = ~in_r1 & ~in_r2 & (de3 >= 0.0)
+    face = ~in_r1 & ~in_r2 & ~in_r3
+
+    sq_r1 = jnp.where(
+        ppx <= 0.0, d_v1, jnp.where(ppx >= v2x, d_v2, de1 * de1 + z2)
+    )
+    sg_r1 = jnp.where(ppx <= 0.0, s_v1, jnp.where(ppx >= v2x, s_v2, s_e1))
+    sq_r2 = jnp.where(
+        dot_b_v2 <= 0.0, d_v2,
+        jnp.where(dot_b_v3 >= 0.0, d_v3, de2 * de2 + z2),
+    )
+    sg_r2 = jnp.where(
+        dot_b_v2 <= 0.0, s_v2, jnp.where(dot_b_v3 >= 0.0, s_v3, s_e2)
+    )
+    sq_r3 = jnp.where(
+        dot_c_v1 >= 0.0, d_v1,
+        jnp.where(dot_c_v3 <= 0.0, d_v3, de3 * de3 + z2),
+    )
+    sg_r3 = jnp.where(
+        dot_c_v1 >= 0.0, s_v1, jnp.where(dot_c_v3 <= 0.0, s_v3, s_e3)
+    )
+
+    sq = jnp.where(
+        in_r1, sq_r1, jnp.where(in_r2, sq_r2, jnp.where(in_r3, sq_r3, z2))
+    )
+    sgn = jnp.sign(
+        jnp.where(in_r1, sg_r1, jnp.where(in_r2, sg_r2, sg_r3))
+    )
+    return jnp.where(face, ppz, sgn * jnp.sqrt(sq))
 
 
 def sq_dist_from_vertex_cols(px, py, pz, v):

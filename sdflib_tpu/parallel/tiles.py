@@ -106,7 +106,8 @@ class TiledExactOctreeSdf:
                             (k + 1) * self.cells_per_chip),
             )
             ids, fields, cmin = make_bucket_tables(
-                tflat, lcnt, lcen, self.packed_fields
+                tflat, lcnt, lcen, self.packed_fields,
+                self.triangles.v_world,
             )
             if fields is None:
                 raise NotImplementedError(

@@ -39,6 +39,8 @@ from ..ops.point_triangle import (
     pack_triangle_fields,
     signed_dist_grad_pair,
     signed_dist_pair,
+    pack_triangle_full_fields,
+    signed_dist_from_rows,
     sq_dist_from_field_fn,
     sq_dist_from_vertex_cols,
     sq_dist_packed,
@@ -301,16 +303,31 @@ def _assign_groups(lid_s, *, G: int):
 
 @partial(jax.jit, static_argnames=("G", "NG"))
 def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
-    """Scatter leaf-sorted points into (NG, G) group slots (zero padded).
-    Each group's points share one leaf; per-leaf padding costs at most G-1
-    slots per distinct leaf touched."""
+    """Scatter leaf-sorted points into (NG, G) group slots with ONE fused
+    (P, 4) payload scatter: [x, y, z, leaf-id bitcast]. Empty slots keep
+    an +inf sentinel, from which occupancy derives elementwise, and every
+    non-empty group's lane 0 is occupied by construction (rank % G == 0
+    opens the group), so the group's leaf id reads from lane 0. Each
+    multi-pass alternative (separate pts/valid/leaf scatters) costs a
+    full latency-bound device pass per array at query batch sizes."""
     slot = gid * G + lane
-    gpts = (
-        jnp.zeros((NG * G, 3), pts_s.dtype).at[slot].set(pts_s, mode="drop")
+    payload = jnp.concatenate(
+        [
+            pts_s,
+            jax.lax.bitcast_convert_type(lid_s, jnp.float32)[:, None],
+        ],
+        axis=1,
     )
-    gvalid = jnp.zeros((NG * G,), bool).at[slot].set(True, mode="drop")
-    gleaf = jnp.zeros((NG,), jnp.int32).at[gid].set(lid_s, mode="drop")
-    return gpts.reshape(NG, G, 3), gvalid.reshape(NG, G), gleaf, slot
+    buf = jnp.full((NG * G, 4), jnp.inf, pts_s.dtype).at[slot].set(
+        payload, mode="drop"
+    )
+    buf = buf.reshape(NG, G, 4)
+    gpts = buf[..., :3]
+    gvalid = buf[..., 0] < jnp.inf
+    gleaf = jnp.clip(
+        jax.lax.bitcast_convert_type(buf[:, 0, 3], jnp.int32), 0, None
+    )
+    return gpts, gvalid, gleaf, slot
 
 
 def _exact_scan_grouped(
@@ -326,6 +343,7 @@ def _exact_scan_grouped(
     *,
     max_chunks: int,
     early_exit: bool = True,
+    prologue: int = 0,
 ):
     """Group-coherent masked brute force (ExactOctreeSdf.cpp:105-175 role).
 
@@ -336,8 +354,15 @@ def _exact_scan_grouped(
     evaluated per point; a group retires when all its lanes are done.
     G and CH are shape-derived: the caller picks the group width from the
     measured points-per-leaf density and the chunk width from the bucket
-    build (pairwise evaluations, the measured floor at ~4 G pairs/s on
-    v5e, scale as P * CH * chunks / fill)."""
+    build.
+
+    ``prologue`` chunks run as a FIXED unrolled sequence whose gather
+    indices do not depend on the loop carry: the early-exit while_loop
+    serializes gather -> eval -> next gather (measured ~3.5x the cost of
+    the same work with independent gathers, PERF.md §1), so the typical
+    ceil(median_list/CH) chunks run carry-free and only the fat-list tail
+    pays the serialized loop. If the whole block is empty padding
+    (no valid lanes), the entire scan is skipped via lax.cond."""
     NG, G, _ = gpts.shape
     CH = bucket_ids.shape[1]
     bucket0 = leaf_offset[gleaf] // CH               # (NG,)
@@ -348,23 +373,18 @@ def _exact_scan_grouped(
     r_p = jnp.sqrt(
         jnp.sum(jnp.square(gpts - leaf_centers[gleaf][:, None, :]), axis=-1)
     )                                                 # (NG, G)
+    nf = bucket_fields.shape[1] // CH
 
-    def chunk_cond(carry):
-        i, _, _, done = carry
-        return (i < max_chunks) & ~jnp.all(done)
-
-    def chunk_step(carry):
-        i, best, best_id, done = carry
-        grp_done = jnp.all(done, axis=1)              # (NG,)
-        active = ((i * CH) < cnt) & ~grp_done
-        brow = jnp.where(active, bucket0 + i, 0)
+    def chunk_body(i, best, best_id, done, brow, gate):
+        """One chunk: gather row `brow`, eval, update best/done. `gate`
+        masks groups whose scan already retired (loop phase only)."""
+        active = ((i * CH) < cnt) & gate
         tri_ids = bucket_ids[brow]                    # (NG, CH) row gather
         fields = bucket_fields[brow]                  # (NG, nf*CH)
         # 2D column slices, NOT a (NG, nf, CH) reshape: splitting the lane
         # dim into sublanes is a relayout copy the TPU pays every loop
         # iteration; lane slices fuse into the arithmetic for free.
         field_fn = lambda r: fields[:, None, r * CH : (r + 1) * CH]
-        nf = bucket_fields.shape[1] // CH
         sqd = _bucket_sqdist(px, py, pz, field_fn, nf)  # (NG, G, CH)
         valid = (tri_ids >= 0)[:, None, :] & active[:, None, None]
         sqd = jnp.where(valid, sqd, jnp.inf)
@@ -389,16 +409,41 @@ def _exact_scan_grouped(
             done = done | exhausted[:, None] | unbeatable
         else:
             done = done | exhausted[:, None]
+        return best, best_id, done
+
+    def chunk_cond(carry):
+        i, _, _, done = carry
+        return (i < max_chunks) & ~jnp.all(done)
+
+    def chunk_step(carry):
+        i, best, best_id, done = carry
+        gate = ~jnp.all(done, axis=1)
+        brow = jnp.where(gate, bucket0 + i, 0)
+        best, best_id, done = chunk_body(i, best, best_id, done, brow, gate)
         return i + 1, best, best_id, done
 
-    init = (
-        jnp.int32(0),
-        jnp.full((NG, G), jnp.inf, gpts.dtype),
-        jnp.zeros((NG, G), jnp.int32),
-        ~gvalid,
-    )
-    iters, _, win_ids, _ = jax.lax.while_loop(chunk_cond, chunk_step, init)
-    return win_ids, iters
+    def run(_):
+        best = jnp.full((NG, G), jnp.inf, gpts.dtype)
+        best_id = jnp.zeros((NG, G), jnp.int32)
+        done = ~gvalid
+        pro = min(prologue, max_chunks)
+        for i in range(pro):
+            # carry-INDEPENDENT gather index: pipelines across chunks
+            brow = jnp.minimum(bucket0 + i, num_buckets - 1)
+            gate = (i * CH) < cnt
+            best, best_id, done = chunk_body(
+                i, best, best_id, done, brow, gate
+            )
+        iters, _, win_ids, _ = jax.lax.while_loop(
+            chunk_cond, chunk_step,
+            (jnp.int32(pro), best, best_id, done),
+        )
+        return win_ids, iters
+
+    def skip(_):
+        return jnp.zeros((NG, G), jnp.int32), jnp.int32(0)
+
+    return jax.lax.cond(jnp.any(gvalid), run, skip, None)
 
 
 @partial(
@@ -406,6 +451,7 @@ def _exact_scan_grouped(
     static_argnames=(
         "use_grid", "grid_depth", "levels", "start_grid_size",
         "G", "NG", "NB", "max_chunks", "early_exit", "with_gradient",
+        "prologue",
     ),
 )
 def _exact_query_fused(
@@ -432,6 +478,7 @@ def _exact_query_fused(
     max_chunks: int,
     early_exit: bool,
     with_gradient: bool,
+    prologue: int = 0,
 ):
     """The ENTIRE exact query as ONE compiled program: descent -> leaf
     sort -> group assignment/scatter -> length-ordered block scans
@@ -463,16 +510,12 @@ def _exact_query_fused(
     gpts, gvalid, gleaf, slot = _scatter_groups(
         pts_s, lid_s, gid, lane, G=G, NG=NG
     )
-
-    # -- order groups by list length ----------------------------------------
-    # (a block's while_loop runs to its WORST group; uniform-length blocks
-    # waste nothing. Empty padding groups sort first with key -1.)
-    occupied = jnp.any(gvalid, axis=1)
-    key = jnp.where(occupied, leaf_count[gleaf], -1)
-    order_g = jnp.argsort(key)
-    gpts = gpts[order_g]
-    gvalid = gvalid[order_g]
-    gleaf = gleaf[order_g]
+    # Group ids are assigned in leaf-sorted order, so EMPTY padding groups
+    # are exactly the tail [n_groups, NG) — whole tail blocks no-op via
+    # the kernel's lax.cond without any reordering. (An explicit
+    # length-sort of the groups was measured to cost more in NG-sized
+    # permutes than its iteration uniformity saved once the scan loop
+    # got its fixed-trip prologue.)
 
     # -- block scans (one compiled body, sequential over blocks) ------------
     def blk(args):
@@ -482,6 +525,7 @@ def _exact_query_fused(
             bucket_ids, bucket_fields, bucket_cmin,
             bp, bv, bl,
             max_chunks=max_chunks, early_exit=early_exit,
+            prologue=prologue,
         )
 
     nblocks = NG // NB
@@ -494,18 +538,23 @@ def _exact_query_fused(
         ),
     )
 
-    # -- unsort -------------------------------------------------------------
-    win = wins.reshape(NG, G)
-    win = jnp.zeros_like(win).at[order_g].set(win)
-    win_s = win.reshape(-1)[slot]
-    win_ids = jnp.zeros_like(win_s).at[order].set(win_s)
-
-    # -- signed finish ------------------------------------------------------
-    out = _exact_finish(
-        tris, pts, win_ids, in_box, box_min, box_size,
+    # -- finish in SORTED space, one scatter back ----------------------------
+    win_s = wins.reshape(-1)[slot]              # winner per sorted point
+    # in_box recomputed elementwise on sorted points (cheaper than a
+    # permute of the descent mask)
+    rel = (pts_s - box_min) / box_size
+    in_box_s = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+    out_s = _exact_finish(
+        tris, pts_s, win_s, in_box_s, box_min, box_size,
         with_gradient=with_gradient,
     )
-    return out, iters
+    if with_gradient:
+        d_s, g_s = out_s
+        d = jnp.zeros_like(d_s).at[order].set(d_s)
+        g = jnp.zeros_like(g_s).at[order].set(g_s)
+        return (d, g), iters
+    d = jnp.zeros_like(out_s).at[order].set(out_s)
+    return d, iters
 
 
 @partial(
@@ -605,21 +654,31 @@ def _exact_finish(
     with_gradient: bool,
 ):
     """Signed evaluation of the winning triangle + out-of-box fallback
-    (ExactOctreeSdf.cpp:44-49, :166-175)."""
-    pts = points
-    win_tri = jax.tree.map(lambda a: a[jnp.maximum(win_ids, 0)], tris)
+    (ExactOctreeSdf.cpp:44-49, :166-175).
 
+    The distance path gathers ONE fused 37-field row per point
+    (pack_triangle_full_fields) instead of ~12 separate SoA arrays —
+    profiled as the dominant cost of the whole query at 2M points
+    (each SoA gather is a full latency-bound pass, PERF.md §1). The
+    gradient path still gathers the SoA (it additionally needs world
+    vertices and runs far less often)."""
+    pts = points
     center = box_min + 0.5 * box_size
     size3 = jnp.full((3,), box_size, pts.dtype)
     fallback = jnp.sqrt(jnp.asarray(3.0, pts.dtype)) * box_size
+    safe_ids = jnp.maximum(win_ids, 0)
 
     if with_gradient:
+        win_tri = jax.tree.map(lambda a: a[safe_ids], tris)
         d_in, g_in = jax.vmap(signed_dist_grad_pair)(pts, win_tri)
         d_out, g_out = box_distance_gradient(pts, center, size3)
         d = jnp.where(in_box, d_in, d_out + fallback)
         g = jnp.where(in_box[..., None], g_in, g_out)
         return d, g
-    d_in = jax.vmap(signed_dist_pair)(pts, win_tri)
+    rows = pack_triangle_full_fields(tris)[safe_ids]   # (P, 37) one gather
+    d_in = signed_dist_from_rows(
+        pts[..., 0], pts[..., 1], pts[..., 2], lambda r: rows[..., r]
+    )
     d_out = box_distance(pts, center, size3)
     return jnp.where(in_box, d_in, d_out + fallback)
 
@@ -927,12 +986,15 @@ def make_bucket_tables(
     ids = jnp.asarray(tri_flat).reshape(-1, CH)
     packed_fields = jnp.asarray(packed_fields)
     nf = packed_fields.shape[1]
-    want19 = bucket_format in ("auto", "frame19")
-    if want19 and ids.size * nf * 4 <= byte_budget:
-        source = packed_fields
-    elif vworld is not None and ids.size * 9 * 4 <= byte_budget:
+    # auto prefers the vertex tier: 2.1x smaller AND measured ~9% faster
+    # (gather bytes drop; the on-the-fly frame derivation amortizes over
+    # the group). frame19 remains for precomputed-frame selection order.
+    want_vertex = bucket_format in ("auto", "vertex9") and vworld is not None
+    if want_vertex and ids.size * 9 * 4 <= byte_budget:
         source = jnp.asarray(vworld).reshape(-1, 9)
         nf = 9
+    elif bucket_format != "vertex9" and ids.size * nf * 4 <= byte_budget:
+        source = packed_fields
     else:
         source = None
     if source is not None:
@@ -1052,6 +1114,11 @@ class ExactOctreeSdf(SdfFunction):
         (derived from tri_flat ON DEVICE; recomputed on load, never
         serialized). See make_bucket_tables."""
         self.packed_fields = pack_triangle_fields(self.triangles)
+        # fixed-trip scan prologue: the chunks a median-length (sorted,
+        # early-exiting) list needs — see _exact_scan_grouped
+        cnts_np = np.asarray(self.leaf_count)
+        med = float(np.median(cnts_np[cnts_np > 0])) if (cnts_np > 0).any() else 1.0
+        self._scan_prologue = int(min(8, -(-med // self.scan_chunk)))
         self.bucket_ids, self.bucket_fields, self.bucket_cmin = (
             make_bucket_tables(
                 self.tri_flat,
@@ -1185,6 +1252,7 @@ class ExactOctreeSdf(SdfFunction):
                 max_chunks=max_chunks,
                 early_exit=self._sorted_lists,
                 with_gradient=with_gradient,
+                prologue=self._scan_prologue if self._sorted_lists else 0,
             )
             # diagnostics for roofline accounting (device array, unsynced)
             self._last_scan_stats = {

@@ -28,6 +28,7 @@ bitcast in the same array.
 """
 from __future__ import annotations
 
+import time as _time
 from functools import partial
 from typing import NamedTuple
 
@@ -250,7 +251,17 @@ def build_octree(
 
     leaf_centers, leaf_halves, leaf_coeff_idx, leaf_depths = [], [], [], []
     value_range = 0.0
-    stats: dict = {"nodes_per_depth": {}, "leaves_per_depth": {}, "tris_per_node": {}}
+    stats: dict = {
+        "nodes_per_depth": {},
+        "leaves_per_depth": {},
+        "tris_per_node": {},
+        # dispatch-vs-transfer split of the level kernels (VERDICT r1 item
+        # 7 asks the remaining build time to be attributed): "enqueue" is
+        # the async dispatch cost, "device_and_d2h" covers kernel execution
+        # plus the host transfer forced by np.asarray.
+        "level_enqueue_s": 0.0,
+        "level_device_and_d2h_s": 0.0,
+    }
 
     depth = start_depth
     half = 0.5 * cell
@@ -335,6 +346,7 @@ def build_octree(
         kcounts = np.zeros(Np, np.int64)
         for i in range(0, Np, C):
             sl = slice(i, i + C)
+            t0 = _time.perf_counter()
             m, c, e, k, kc = _level_chunk(
                 tris_dev,
                 jnp.asarray(cen_p[sl]),
@@ -346,8 +358,11 @@ def build_octree(
                 rule=termination_rule,
                 interpolation=interpolation,
             )
+            stats["level_enqueue_s"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             mids[sl], coeffs[sl], errs[sl] = map(np.asarray, (m, c, e))
             keeps[sl], kcounts[sl] = np.asarray(k), np.asarray(kc)
+            stats["level_device_and_d2h_s"] += _time.perf_counter() - t0
 
         mids, coeffs, errs = mids[:N], coeffs[:N], errs[:N]
         # Drop padded rows AND padded candidate columns (indices >= K would

@@ -29,7 +29,11 @@ def test_tiled_matches_replicated(setup):
     pts = rng.uniform(lo, hi, (8192, 3)).astype(np.float32)
     d_rep = np.asarray(rep.get_distance(pts))
     d_til = np.asarray(tiled.get_distance(pts))
-    np.testing.assert_array_equal(d_rep, d_til)
+    # The tiled path compiles a per-point scan where the replicated path
+    # compiles the grouped kernel; XLA fuses the on-the-fly frame math
+    # differently, so equidistant-winner ties can flip (observed <=6e-8).
+    # Same-program determinism is asserted bit-exact separately below.
+    np.testing.assert_allclose(d_rep, d_til, rtol=1e-6, atol=1e-7)
 
 
 def test_tiled_structure_is_sharded(setup):

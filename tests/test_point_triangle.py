@@ -257,3 +257,32 @@ def test_naive_from_cols_matches_naive():
     # differences are FMA-contraction noise at region boundaries where
     # both branches evaluate ~equal (observed <=1.5e-8 absolute)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_signed_dist_from_rows_matches_pair():
+    """Row-accessor signed kernel (fused winner eval) must match the
+    SoA pair kernel on random pairs, incl. sign."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdflib_tpu.ops.point_triangle import (
+        pack_triangle_full_fields,
+        signed_dist_from_rows,
+        signed_dist_pair,
+    )
+    from sdflib_tpu.triangle import calculate_mesh_triangle_data
+    from sdflib_tpu.utils.primitives import make_torus
+
+    mesh = make_torus(R=0.3, r=0.12, nu=16, nv=8)
+    soa = jax.tree.map(jnp.asarray, calculate_mesh_triangle_data(mesh))
+    rng = np.random.default_rng(12)
+    n = 4096
+    p = jnp.asarray(rng.uniform(-0.6, 0.6, (n, 3)).astype(np.float32))
+    ti = rng.integers(0, soa.origin.shape[0], n)
+    full = pack_triangle_full_fields(soa)[jnp.asarray(ti)]     # (n, 37)
+    got = np.asarray(signed_dist_from_rows(
+        p[:, 0], p[:, 1], p[:, 2], lambda r: full[:, r]
+    ))
+    tri = jax.tree.map(lambda a: a[jnp.asarray(ti)], soa)
+    ref = np.asarray(jax.vmap(signed_dist_pair)(p, tri))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
