@@ -47,14 +47,16 @@ def main():
     hi = np.asarray(oct_.box.max) - 1e-4
     pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
 
-    # ---- approximate octree queries/s (headline) ----------------------------
+    # ---- approximate octree queries/s --------------------------------------
+    # timing fences are scalar readbacks: block_until_ready can return
+    # before device completion through the remote transport (PERF.md)
     d = oct_.get_distance(pts)
-    d.block_until_ready()
+    float(jnp.sum(d))
     iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         d = oct_.get_distance(pts)
-    d.block_until_ready()
+    float(jnp.sum(d))
     qps = n * iters / (time.perf_counter() - t0)
 
     # ---- sphere-traced rays/s ------------------------------------------------
@@ -69,10 +71,10 @@ def main():
         np.array([0.0, 0.0, 1.0], np.float32), origins.shape
     ).copy()
     res = trace_octree(oct_, origins, dirs, max_iters=1024)
-    jax.block_until_ready(res.depth)
+    float(jnp.sum(res.depth))
     t0 = time.perf_counter()
     res = trace_octree(oct_, origins, dirs, max_iters=1024)
-    jax.block_until_ready(res.depth)
+    float(jnp.sum(res.depth))
     rays_per_s = R * R / (time.perf_counter() - t0)
 
     # ---- exact octree queries/s ----------------------------------------------
@@ -87,10 +89,10 @@ def main():
     ne = 1 << 21
     epts = pts[:ne]
     de = ex.get_distance(epts)
-    de.block_until_ready()
+    float(jnp.sum(de))
     t0 = time.perf_counter()
     de = ex.get_distance(epts)
-    de.block_until_ready()
+    float(jnp.sum(de))
     exact_qps = ne / (time.perf_counter() - t0)
 
     # ---- real-mesh scale: >=100k-triangle build + query ----------------------
@@ -100,18 +102,21 @@ def main():
     big_mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
     big_box = big_mesh.bounding_box.add_margin(0.14)
     t0 = time.perf_counter()
+    # depth 5 / start 3: per-level candidate matrices for 100k triangles
+    # exceed HBM at depth 6 on one v5e; the vertex-format bucket tier
+    # (36 B/slot) carries the ~83M list slots this shape produces.
     big_ex = ExactOctreeSdf(
-        big_mesh, big_box, max_depth=6, start_depth=2,
+        big_mesh, big_box, max_depth=5, start_depth=3,
         min_triangles_per_node=32,
     )
     big_build_s = time.perf_counter() - t0
     nb = 1 << 20
     bpts = pts[:nb]
     db = big_ex.get_distance(bpts)
-    db.block_until_ready()
+    float(jnp.sum(db))
     t0 = time.perf_counter()
     db = big_ex.get_distance(bpts)
-    db.block_until_ready()
+    float(jnp.sum(db))
     big_exact_qps = nb / (time.perf_counter() - t0)
     big_tris = int(big_mesh.indices.size // 3)
     big_mean_leaf = float(np.mean(big_ex.build_stats["tris_per_leaf"]))

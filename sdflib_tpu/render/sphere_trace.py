@@ -42,6 +42,7 @@ def _grid_distance_and_step(
     grid_depth: int,
     num_coeff: int,
     interpolation: str,
+    grid_fat: bool = False,
 ):
     """Distance + SAFE STEP in one pass over the dense leaf grid.
 
@@ -67,9 +68,15 @@ def _grid_distance_and_step(
     scale = jnp.exp2(depth.astype(pts.dtype))
     f = rel * scale[..., None]
     frac = f - jnp.floor(f)
-    base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
-    shift = 6 if num_coeff == 64 else 3
-    coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
+    if grid_fat:
+        # coefficients live in the SAME row: one gather per march step
+        # instead of two dependent ones (PERF.md §1: the gather unit is
+        # the tracer's whole cost)
+        coeffs_u32 = row[..., 2:]
+    else:
+        base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
+        shift = 6 if num_coeff == 64 else 3
+        coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
     coeffs = jax.lax.bitcast_convert_type(coeffs_u32, jnp.float32)
     if interpolation == "tricubic":
         d_in = tricubic_interpolate(coeffs, frac)
@@ -175,7 +182,8 @@ def sphere_trace(
 
 
 @partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
-                                   "max_iters", "grid_depth", "fast"))
+                                   "max_iters", "grid_depth", "fast",
+                                   "grid_fat"))
 def _march_state_jit(
     octree_u32,
     grid_u32,     # dense leaf grid, or a dummy when grid_depth is None
@@ -194,6 +202,7 @@ def _march_state_jit(
     max_iters: int,
     grid_depth: int | None = None,
     fast: bool = True,
+    grid_fat: bool = False,
 ):
     # The reference shader marches in octree-normalized space with
     # distanceScale = 1/boxSize (RenderSdf.cpp:128). Equivalent here: march
@@ -213,7 +222,7 @@ def _march_state_jit(
                 octree_u32, grid_u32, points, dirs, box_min, box_size,
                 min_border_value,
                 grid_depth=grid_depth, num_coeff=num_coeff,
-                interpolation=interpolation,
+                interpolation=interpolation, grid_fat=grid_fat,
             )
 
     it, state = sphere_trace_state(
@@ -222,6 +231,84 @@ def _march_state_jit(
         distance_step_fn=dist_step_fn,
     )
     return it, state
+
+
+@partial(jax.jit, static_argnames=(
+    "levels", "num_coeff", "interpolation", "max_iters", "grid_depth",
+    "fast", "grid_fat", "n_blk", "B",
+))
+def _march_round_jit(
+    octree_u32,
+    grid_u32,
+    state,        # (pos, acc, last_d, active) over ALL Rp rays
+    dirs,         # (Rp, 3) in current permutation
+    perm,         # (Rp,) current order -> original ray index
+    iters_used,   # (Rp,) per original ray
+    box_min,
+    box_size,
+    start_grid_size,
+    min_border_value,
+    eps,
+    far,
+    *,
+    levels: int,
+    num_coeff: int,
+    interpolation: str,
+    max_iters: int,
+    grid_depth: int | None,
+    fast: bool,
+    grid_fat: bool,
+    n_blk: int,
+    B: int,
+):
+    """One march ROUND as a single compiled program: march the first n_blk
+    rays in B-sized blocks (lax.map), account iterations, then re-pack the
+    still-active rays to the front of the prefix. Returns the updated
+    (state, dirs, perm, iters_used) and the active count — the only value
+    that crosses to the host between rounds. The previous scheduler ran
+    the compaction as ~10 eager ops per round; through the remote
+    transport each eager op costs a ~10-25 ms round trip, which regressed
+    the whole frame (measured 0.85 -> 0.48 M rays/s) until fused."""
+    head = jax.tree.map(lambda a: a[:n_blk], state)
+    hdirs = dirs[:n_blk]
+
+    def blk(args):
+        st, db = args
+        it, new = _march_state_jit(
+            octree_u32, grid_u32, st, db,
+            box_min, box_size, start_grid_size, min_border_value, eps, far,
+            levels=levels, num_coeff=num_coeff, interpolation=interpolation,
+            max_iters=max_iters, grid_depth=grid_depth, fast=fast,
+            grid_fat=grid_fat,
+        )
+        return it, new
+
+    nb = n_blk // B
+    its, head = jax.lax.map(
+        blk,
+        (
+            jax.tree.map(lambda a: a.reshape((nb, B) + a.shape[1:]), head),
+            hdirs.reshape(nb, B, 3),
+        ),
+    )
+    head = jax.tree.map(
+        lambda a: a.reshape((n_blk,) + a.shape[2:]), head
+    )
+    state = jax.tree.map(
+        lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
+    )
+    iters_used = iters_used.at[perm[:n_blk]].add(
+        jnp.repeat(its, B), mode="drop"
+    )
+
+    active = state[3][:n_blk] > 0
+    n_active = jnp.sum(active.astype(jnp.int32))
+    order = jnp.argsort(~active)
+    reorder = lambda a: jnp.concatenate([a[:n_blk][order], a[n_blk:]])
+    state = jax.tree.map(reorder, state)
+    perm = reorder(perm)
+    dirs = reorder(dirs)
+    return state, dirs, perm, iters_used, n_active
 
 
 @partial(jax.jit,
@@ -239,7 +326,8 @@ def _trace_normals_jit(
 
 
 @partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
-                                   "max_iters", "grid_depth", "fast"))
+                                   "max_iters", "grid_depth", "fast",
+                                   "grid_fat"))
 def _beam_prepass_jit(
     octree_u32,
     grid_u32,
@@ -260,6 +348,7 @@ def _beam_prepass_jit(
     max_iters: int,
     grid_depth: int | None = None,
     fast: bool = True,
+    grid_fat: bool = False,
 ):
     """Beam (tile) prepass: march one ray per tile with the hit test
     expanded by the tile radius r(t) = r0 + t*rd, stepping by
@@ -274,12 +363,13 @@ def _beam_prepass_jit(
     two-level TPU schedule."""
     def dist_fn(points):
         if grid_depth is not None:
-            return _octree_query_grid(
-                octree_u32, grid_u32, points, box_min, box_size,
+            d, _ = _grid_distance_and_step(
+                octree_u32, grid_u32, points, dirs, box_min, box_size,
                 min_border_value,
                 grid_depth=grid_depth, num_coeff=num_coeff,
-                interpolation=interpolation, with_gradient=False,
+                interpolation=interpolation, grid_fat=grid_fat,
             )
+            return d
         return _octree_query(
             octree_u32, points, box_min, box_size, start_grid_size,
             min_border_value,
@@ -312,6 +402,29 @@ def _beam_prepass_jit(
     return acc
 
 
+@partial(jax.jit, static_argnames=("ntiles",))
+def _beam_setup_jit(o, d, seg, *, ntiles: int):
+    """Per-tile beam parameters in one compiled call: mean origin,
+    normalized mean direction, and the radius bound r(t) = r0 + t*rd
+    covering every member ray's path."""
+    cnt = jax.ops.segment_sum(jnp.ones(o.shape[0], jnp.float32), seg,
+                              num_segments=ntiles)
+    o_c = jax.ops.segment_sum(o, seg, num_segments=ntiles) / cnt[:, None]
+    d_sum = jax.ops.segment_sum(d, seg, num_segments=ntiles)
+    d_c = d_sum / jnp.maximum(
+        jnp.sqrt(jnp.sum(d_sum * d_sum, -1, keepdims=True)), 1e-20
+    )
+    r0 = jax.ops.segment_max(
+        jnp.sqrt(jnp.sum(jnp.square(o - o_c[seg]), -1)),
+        seg, num_segments=ntiles,
+    )
+    rd = jax.ops.segment_max(
+        jnp.sqrt(jnp.sum(jnp.square(d - d_c[seg]), -1)),
+        seg, num_segments=ntiles,
+    )
+    return o_c, d_c, r0, rd
+
+
 # Rays per march block; the while_loop pays the slowest ray in a block, so
 # unfinished rays are re-packed together between rounds.
 _TRACE_BLOCK = 1 << 17
@@ -321,7 +434,7 @@ _TRACE_BLOCK = 1 << 17
 # ever-larger chunks while the finished bulk stops costing gathers —
 # every march step is one data-dependent gather, the tracer's measured
 # unit cost.
-_FIRST_ROUND_ITERS = 16
+_FIRST_ROUND_ITERS = 8
 
 
 def trace_octree(
@@ -334,6 +447,7 @@ def trace_octree(
     max_iters: int = 1024,
     block_size: int | None = None,
     beam: int | None = 4,
+    stats_out: dict | None = None,
 ) -> TraceResult:
     """Sphere-trace rays against an OctreeSdf. eps/far are in normalized
     octree space (box edge = 1), matching the reference shader.
@@ -377,38 +491,22 @@ def trace_octree(
     # The free-cell flags guarantee poly > _FREE_CELL_MARGIN * box_size in
     # flagged cells; exit-stepping is only sound for hit thresholds below
     # that margin (default eps=1e-5 is).
-    grid = getattr(octree, "_query_grid", None)
+    grid = getattr(octree, "_fat_grid", None)
+    grid_fat = grid is not None
+    if grid is None:
+        grid = getattr(octree, "_query_grid", None)
     if grid is not None and eps > OctreeSdf._FREE_CELL_MARGIN:
         grid = None
+        grid_fat = False
     statics = dict(
         levels=octree.max_depth - octree.start_depth,
         num_coeff=octree.num_coefficients,
         interpolation=octree.interpolation,
         grid_depth=octree.max_depth if grid is not None else None,
         fast=octree._fast_layout,
+        grid_fat=grid_fat,
     )
     grid_arr = grid if grid is not None else jnp.zeros((1, 2), jnp.uint32)
-
-    def march(state, dirs_, iters):
-        its, out = [], []
-        n = state[1].shape[0]
-        for i in range(0, n, B):
-            blk = jax.tree.map(
-                lambda a: jax.lax.dynamic_slice_in_dim(a, i, B), state
-            )
-            db = jax.lax.dynamic_slice_in_dim(dirs_, i, B)
-            it, new = _march_state_jit(
-                octree.octree_data, grid_arr, blk, db, *common,
-                max_iters=iters, **statics,
-            )
-            its.append(it)
-            out.append(new)
-        merged = (
-            jax.tree.map(lambda *xs: jnp.concatenate(xs), *out)
-            if len(out) > 1
-            else out[0]
-        )
-        return its, merged
 
     start_t = jnp.zeros(Rp, jnp.float32)
     if beam is not None and R >= beam * beam:
@@ -422,27 +520,7 @@ def trace_octree(
             tile_of_ray = np.arange(R) // bb
             ntiles = -(-R // bb)
         seg = jnp.asarray(tile_of_ray.astype(np.int32))
-        cnt = jax.ops.segment_sum(
-            jnp.ones(R, jnp.float32), seg, num_segments=ntiles
-        )
-        o_flat = o[:R]
-        d_flat = d[:R]
-        o_c = (
-            jax.ops.segment_sum(o_flat, seg, num_segments=ntiles)
-            / cnt[:, None]
-        )
-        d_sum = jax.ops.segment_sum(d_flat, seg, num_segments=ntiles)
-        d_c = d_sum / jnp.maximum(
-            jnp.sqrt(jnp.sum(d_sum * d_sum, -1, keepdims=True)), 1e-20
-        )
-        r0 = jax.ops.segment_max(
-            jnp.sqrt(jnp.sum(jnp.square(o_flat - o_c[seg]), -1)),
-            seg, num_segments=ntiles,
-        )
-        rd = jax.ops.segment_max(
-            jnp.sqrt(jnp.sum(jnp.square(d_flat - d_c[seg]), -1)),
-            seg, num_segments=ntiles,
-        )
+        o_c, d_c, r0, rd = _beam_setup_jit(o[:R], d[:R], seg, ntiles=ntiles)
         # Safety margin: hit threshold + fit-error budget (the Lipschitz
         # argument runs through the TRUE distance; the polynomial tracks
         # it within the builder's termination threshold).
@@ -467,43 +545,36 @@ def trace_octree(
 
     # Multi-round march with compaction: rounds grow geometrically; after
     # each round the still-active rays are re-packed to the front so the
-    # finished bulk stops paying march gathers. `perm` maps current order
-    # -> original ray index; the active set only shrinks, so each
-    # compaction sorts just the previous active prefix.
+    # finished bulk stops paying march gathers. Each round is ONE compiled
+    # call (_march_round_jit); only the active count crosses to the host.
     perm = jnp.arange(Rp)
     d_cur = d
     iters_used = jnp.zeros(Rp, jnp.int32)
     n_cur = Rp
     remaining = max_iters
+    rounds_log = []
     round_iters = min(_FIRST_ROUND_ITERS, max_iters)
     while remaining > 0 and n_cur > 0:
         k = min(round_iters, remaining)
-        n_blk = min(-(-n_cur // B) * B, Rp)
-        head = jax.tree.map(lambda a: a[:n_blk], state)
-        its, head = march(head, d_cur[:n_blk], k)
-        state = jax.tree.map(
-            lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
+        # pow2 prefix sizing (bounds compile variants); a small floor so
+        # tail rounds with few stragglers stop re-marching a full block
+        n_blk = min(1 << 10, Rp)
+        while n_blk < n_cur:
+            n_blk *= 2
+        n_blk = min(n_blk, Rp)
+        state, d_cur, perm, iters_used, n_active = _march_round_jit(
+            octree.octree_data, grid_arr, state, d_cur, perm, iters_used,
+            *common,
+            max_iters=k, **statics,
+            n_blk=n_blk, B=min(B, n_blk),
         )
-        iters_used = iters_used.at[perm[:n_blk]].add(
-            jnp.concatenate([jnp.full(B, it, jnp.int32) for it in its])
-        )
+        n_cur = int(n_active)      # the round's single host sync
+        rounds_log.append((k, n_blk, n_cur))
         remaining -= k
         round_iters = min(round_iters * 2, 256)
 
-        active = state[3][:n_blk] > 0
-        n_new = int(jnp.sum(active))
-        if n_new == 0:
-            n_cur = 0
-            break
-        if n_new < n_blk:  # re-pack actives to the front of the prefix
-            order = jnp.argsort(~active)
-            reorder = lambda a: jnp.concatenate(
-                [a[:n_blk][order], a[n_blk:]]
-            )
-            state = jax.tree.map(reorder, state)
-            perm = reorder(perm)
-            d_cur = reorder(d_cur)
-        n_cur = n_new
+    if stats_out is not None:
+        stats_out["rounds"] = rounds_log   # (iters, marched, still_active)
 
     # Restore original ray order.
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(Rp))
@@ -512,10 +583,22 @@ def trace_octree(
     pos, acc, last_d, _ = state
     eps_w = eps * float(octree.box.size[0])
     hit = last_d <= eps_w
-    normal = _trace_normals_jit(
-        octree.octree_data, pos, *common[:4],
-        **{k: v for k, v in statics.items() if k != "grid_depth"},
-    )
+    if grid_fat:
+        from ..sdf.octree import _octree_query_fat
+
+        _, normal = _octree_query_fat(
+            grid_arr, pos, *common[:2], common[3],
+            grid_depth=octree.max_depth,
+            num_coeff=octree.num_coefficients,
+            interpolation=octree.interpolation,
+            with_gradient=True,
+        )
+    else:
+        normal = _trace_normals_jit(
+            octree.octree_data, pos, *common[:4],
+            **{k: v for k, v in statics.items()
+               if k not in ("grid_depth", "grid_fat")},
+        )
     res = TraceResult(hit, pos, acc, normal, iters_used)
     return jax.tree.map(
         lambda a: a[:R].reshape(

@@ -289,6 +289,77 @@ def _build_leaf_grid(
     return grid.reshape(-1, 2)
 
 
+def _build_fat_grid(
+    octree_np: np.ndarray, grid: np.ndarray, num_coeff: int
+) -> np.ndarray:
+    """Fuse the dense leaf grid with the leaf coefficients: one
+    (2 + num_coeff)-word row per finest cell = [leaf word, depth|flags,
+    coefficients...]. Queries and march steps then cost ONE row gather
+    instead of two DEPENDENT gathers (grid row -> coefficient row); on
+    the latency-bound gather unit (PERF.md §1) that halves the per-step
+    cost of the sphere tracer's hot loop."""
+    base = (grid[:, 0] & CHILDREN_INDEX_MASK).astype(np.int64)
+    out = np.empty((grid.shape[0], 2 + num_coeff), np.uint32)
+    out[:, 0] = grid[:, 0]
+    out[:, 1] = grid[:, 1]
+    out[:, 2:] = octree_np[base[:, None] + np.arange(num_coeff)]
+    return out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("grid_depth", "num_coeff", "interpolation",
+                     "with_gradient"),
+)
+def _octree_query_fat(
+    fat_u32,         # (2^d^3, 2+num_coeff) fused rows
+    points,
+    box_min,
+    box_size,
+    min_border_value,
+    *,
+    grid_depth: int,
+    num_coeff: int,
+    interpolation: str,
+    with_gradient: bool,
+):
+    """Dense-grid query over fused rows: ONE row gather per point."""
+    pts = points
+    g = 1 << grid_depth
+    rel = (pts - box_min) / box_size
+    in_box = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+    cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
+    lin = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]
+
+    row = fat_u32[lin]                               # (..., 2+nc)
+    depth = (row[..., 1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    scale = jnp.exp2(depth.astype(pts.dtype))
+    f = rel * scale[..., None]
+    frac = f - jnp.floor(f)
+    coeffs = jax.lax.bitcast_convert_type(row[..., 2:], jnp.float32)
+
+    if interpolation == "tricubic":
+        d_in = tricubic_interpolate(coeffs, frac)
+    else:
+        d_in = trilinear_interpolate(coeffs, frac)
+
+    center = box_min + 0.5 * box_size
+    size3 = jnp.full((3,), box_size, pts.dtype)
+    if with_gradient:
+        if interpolation == "tricubic":
+            g_in = tricubic_gradient(coeffs, frac)
+        else:
+            g_in = trilinear_gradient(coeffs, frac)
+        norm = jnp.sqrt(jnp.sum(g_in * g_in, axis=-1, keepdims=True))
+        g_in = g_in / jnp.maximum(norm, 1e-30)
+        d_out, g_out = box_distance_gradient(pts, center, size3)
+        d = jnp.where(in_box, d_in, d_out + min_border_value)
+        gr = jnp.where(in_box[..., None], g_in, g_out)
+        return d, gr
+    d_out = box_distance(pts, center, size3)
+    return jnp.where(in_box, d_in, d_out + min_border_value)
+
+
 class OctreeSdf(SdfFunction):
     """Octree with trilinear/tricubic polynomial leaves.
 
@@ -374,6 +445,7 @@ class OctreeSdf(SdfFunction):
             result.octree_u32, self.start_grid_size, self.num_coefficients
         )
         self._query_grid = None
+        self._fat_grid = None
 
     # -- queries --------------------------------------------------------------
 
@@ -401,6 +473,18 @@ class OctreeSdf(SdfFunction):
         if march_flags:
             grid = self._mark_free_cells(grid)
         self._query_grid = jnp.asarray(grid)
+        nc = self.num_coefficients
+        fat_bytes = grid.shape[0] * (2 + nc) * 4
+        if fat_bytes <= self._FAT_GRID_BYTE_BUDGET:
+            self._fat_grid = jnp.asarray(
+                _build_fat_grid(np.asarray(self.octree_data), grid, nc)
+            )
+        else:
+            self._fat_grid = None
+
+    # Fused grid rows above this byte size stay unbuilt (the two-gather
+    # path is used instead): depth 6 tricubic = 69 MB, depth 7 = 553 MB.
+    _FAT_GRID_BYTE_BUDGET = 1 << 30
 
     # Cells flagged surface-free keep the polynomial above this (in
     # box-size units) with the error budget below; tracers must use
@@ -456,7 +540,19 @@ class OctreeSdf(SdfFunction):
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
         flat = pts.reshape(-1, 3)
-        if self._query_grid is not None:
+        if getattr(self, "_fat_grid", None) is not None:
+            out = _octree_query_fat(
+                self._fat_grid,
+                flat,
+                jnp.asarray(self.box.min),
+                jnp.float32(self.box.size[0]),
+                jnp.float32(self.min_border_value),
+                grid_depth=self.max_depth,
+                num_coeff=self.num_coefficients,
+                interpolation=self.interpolation,
+                with_gradient=with_gradient,
+            )
+        elif self._query_grid is not None:
             out = _octree_query_grid(
                 self.octree_data,
                 self._query_grid,
@@ -549,6 +645,7 @@ class OctreeSdf(SdfFunction):
             self.num_coefficients,
         )
         self._query_grid = None
+        self._fat_grid = None
 
     @classmethod
     def _from_state_arrays(cls, state: dict) -> "OctreeSdf":
