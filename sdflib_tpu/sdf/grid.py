@@ -84,11 +84,28 @@ class UniformGridSdf(SdfFunction):
         gz, gy, gx = np.meshgrid(zs, ys, xs, indexing="ij")
         pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
-        # Both "basic" and "octree" produce identical exact values; the
-        # octree variant in the reference is only a CPU acceleration
-        # (UniformGridSdfOctree.cpp:42-226). On TPU the batched kernel is the
-        # fast path for both.
-        values = _build_grid_values(mesh, pts)
+        # Both inits produce identical exact values (the reference's
+        # octree variant is an acceleration, UniformGridSdfOctree.cpp:42-226).
+        if init_algorithm == "octree":
+            # Octree-accelerated init: corners evaluate through a shallow
+            # exact octree's culled leaf lists instead of all T triangles —
+            # the same maxMinDist-style culling the reference descends
+            # with, reused from the exact-octree builder. A half-cell
+            # margin keeps every corner strictly inside the (cubified)
+            # octree domain so no corner hits the out-of-box fallback.
+            from .exact_octree import ExactOctreeSdf
+
+            acc_depth = max(3, min(6, int(np.log2(max(self.grid_size)))))
+            acc = ExactOctreeSdf(
+                mesh,
+                self.box.add_margin(0.5 * self.cell_size),
+                max_depth=acc_depth,
+                start_depth=min(2, acc_depth - 1),
+                min_triangles_per_node=64,
+            )
+            values = np.asarray(acc.get_distance(jnp.asarray(pts)))
+        else:
+            values = _build_grid_values(mesh, pts)
         self.grid = jnp.asarray(values.reshape(nz, ny, nx), jnp.float32)
 
     # -- queries -------------------------------------------------------------

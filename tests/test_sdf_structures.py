@@ -125,3 +125,18 @@ def test_real_sdf_torus():
     )
     expected = np.linalg.norm(q, axis=-1) - 0.1
     np.testing.assert_allclose(d, expected, atol=1.5e-2)
+
+
+def test_grid_octree_init_matches_basic():
+    """UniformGridSdfOctreeTest role: BASIC and OCTREE inits must produce
+    the same grid values (reference src/tools/UniformGridSdfOctreeTest)."""
+    from sdflib_tpu.sdf.grid import UniformGridSdf
+    from sdflib_tpu.utils.primitives import make_icosphere
+
+    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    box = mesh.bounding_box.add_margin(0.1)
+    basic = UniformGridSdf(mesh, box, depth=4, init_algorithm="basic")
+    octree = UniformGridSdf(mesh, box, depth=4, init_algorithm="octree")
+    np.testing.assert_allclose(
+        np.asarray(basic.grid), np.asarray(octree.grid), rtol=1e-5, atol=1e-6
+    )
