@@ -72,7 +72,7 @@ def _grid_distance_and_step(
         # coefficients live in the SAME row: one gather per march step
         # instead of two dependent ones (PERF.md §1: the gather unit is
         # the tracer's whole cost)
-        coeffs_u32 = row[..., 2:]
+        coeffs_u32 = row[..., 2 : 2 + num_coeff]
     else:
         base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
         shift = 6 if num_coeff == 64 else 3
@@ -583,11 +583,12 @@ def trace_octree(
     pos, acc, last_d, _ = state
     eps_w = eps * float(octree.box.size[0])
     hit = last_d <= eps_w
-    if grid_fat:
-        from ..sdf.octree import _octree_query_fat
-
-        _, normal = _octree_query_fat(
-            grid_arr, pos, *common[:2], common[3],
+    thin_grid = getattr(octree, "_query_grid", None)
+    if thin_grid is not None:
+        # gradient eval over the thin grid (the fat rows serve marching;
+        # a bulk gradient query is bandwidth-bound and prefers thin rows)
+        _, normal = _octree_query_grid(
+            octree.octree_data, thin_grid, pos, *common[:2], common[3],
             grid_depth=octree.max_depth,
             num_coeff=octree.num_coefficients,
             interpolation=octree.interpolation,

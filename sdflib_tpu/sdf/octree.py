@@ -299,10 +299,14 @@ def _build_fat_grid(
     the latency-bound gather unit (PERF.md §1) that halves the per-step
     cost of the sphere tracer's hot loop."""
     base = (grid[:, 0] & CHILDREN_INDEX_MASK).astype(np.int64)
-    out = np.empty((grid.shape[0], 2 + num_coeff), np.uint32)
+    # Row width padded to a power of two (128 for tricubic): a 66-word row
+    # straddles two 128-lane tiles, making every gather a double fetch —
+    # measured as a 2x approx-query regression before alignment.
+    width = 128 if num_coeff > 6 else 16
+    out = np.zeros((grid.shape[0], width), np.uint32)
     out[:, 0] = grid[:, 0]
     out[:, 1] = grid[:, 1]
-    out[:, 2:] = octree_np[base[:, None] + np.arange(num_coeff)]
+    out[:, 2 : 2 + num_coeff] = octree_np[base[:, None] + np.arange(num_coeff)]
     return out
 
 
@@ -331,12 +335,14 @@ def _octree_query_fat(
     cell = jnp.clip((rel * g).astype(jnp.int32), 0, g - 1)
     lin = (cell[..., 2] * g + cell[..., 1]) * g + cell[..., 0]
 
-    row = fat_u32[lin]                               # (..., 2+nc)
+    row = fat_u32[lin]                               # (..., width)
     depth = (row[..., 1] & jnp.uint32(0xFFFF)).astype(jnp.int32)
     scale = jnp.exp2(depth.astype(pts.dtype))
     f = rel * scale[..., None]
     frac = f - jnp.floor(f)
-    coeffs = jax.lax.bitcast_convert_type(row[..., 2:], jnp.float32)
+    coeffs = jax.lax.bitcast_convert_type(
+        row[..., 2 : 2 + num_coeff], jnp.float32
+    )
 
     if interpolation == "tricubic":
         d_in = tricubic_interpolate(coeffs, frac)
@@ -474,7 +480,7 @@ class OctreeSdf(SdfFunction):
             grid = self._mark_free_cells(grid)
         self._query_grid = jnp.asarray(grid)
         nc = self.num_coefficients
-        fat_bytes = grid.shape[0] * (2 + nc) * 4
+        fat_bytes = grid.shape[0] * (128 if nc > 6 else 16) * 4
         if fat_bytes <= self._FAT_GRID_BYTE_BUDGET:
             self._fat_grid = jnp.asarray(
                 _build_fat_grid(np.asarray(self.octree_data), grid, nc)
@@ -540,19 +546,11 @@ class OctreeSdf(SdfFunction):
     def _query(self, points, with_gradient: bool):
         pts = jnp.asarray(points, jnp.float32)
         flat = pts.reshape(-1, 3)
-        if getattr(self, "_fat_grid", None) is not None:
-            out = _octree_query_fat(
-                self._fat_grid,
-                flat,
-                jnp.asarray(self.box.min),
-                jnp.float32(self.box.size[0]),
-                jnp.float32(self.min_border_value),
-                grid_depth=self.max_depth,
-                num_coeff=self.num_coefficients,
-                interpolation=self.interpolation,
-                with_gradient=with_gradient,
-            )
-        elif self._query_grid is not None:
+        # The fused fat rows serve the sphere tracer (1 gather per march
+        # step); plain queries stay on the thin grid — the fat row doubles
+        # bytes per point and measured 2x SLOWER for bandwidth-bound bulk
+        # queries (27 vs 57 M q/s), while the two thin gathers pipeline.
+        if self._query_grid is not None:
             out = _octree_query_grid(
                 self.octree_data,
                 self._query_grid,
