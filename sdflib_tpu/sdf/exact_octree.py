@@ -188,6 +188,36 @@ def _basic_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
 _CULL_STRATEGIES = ("lattice", "basic")
 
 
+@partial(jax.jit, static_argnames=("C", "strategy"))
+def _cull_group(packed, geo, centers, cand, valid, half, *, C: int, strategy: str):
+    """All cull chunks of one node group as ONE compiled call (lax.map
+    keeps the per-chunk transients bounded). The previous per-chunk eager
+    loop paid 4 dispatch round trips per chunk through the remote
+    transport — the dominant share of build wall time (PERF.md §1).
+    `geo` is the triangle AABBs (lattice) or world vertices (basic)."""
+    N = centers.shape[0]
+
+    def one(args):
+        cn, ci, cv = args
+        if strategy == "lattice":
+            return _lattice_cull_chunk(packed, geo, cn, ci, cv, half)
+        return _basic_cull_chunk(packed, geo, cn, ci, cv, half)
+
+    k, kc, sq = jax.lax.map(
+        one,
+        (
+            centers.reshape(-1, C, 3),
+            cand.reshape(-1, C, cand.shape[1]),
+            valid.reshape(-1, C, valid.shape[1]),
+        ),
+    )
+    return (
+        k.reshape(N, -1),
+        kc.reshape(N),
+        sq.reshape(N, -1),
+    )
+
+
 @jax.jit
 def _compact_rows(idx_rows, keep_rows):
     """Stable-compact kept entries to the front of each row; returns
@@ -783,44 +813,20 @@ def _build_exact(
         for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
-            keeps_parts, kcount_parts, sqd_parts = [], [], []
-            for i in range(0, N, C):
-                cn, ci, cv = (
-                    centers_g[i : i + C],
-                    cand_g[i : i + C],
-                    valid_g[i : i + C],
-                )
-                pad = (-cn.shape[0]) % C
-                if pad:
-                    cn = jnp.pad(cn, [(0, pad), (0, 0)])
-                    ci = jnp.pad(ci, [(0, pad), (0, 0)])
-                    cv = jnp.pad(cv, [(0, pad), (0, 0)])
-                if strategy == "lattice":
-                    k, kc, sq = _lattice_cull_chunk(
-                        packed, aabbs, cn, ci, cv, jnp.float32(half)
-                    )
-                else:
-                    k, kc, sq = _basic_cull_chunk(
-                        packed, vworld, cn, ci, cv, jnp.float32(half)
-                    )
-                keeps_parts.append(k)
-                kcount_parts.append(kc)
-                sqd_parts.append(sq)
-            keeps = (
-                jnp.concatenate(keeps_parts)[:N]
-                if len(keeps_parts) > 1
-                else keeps_parts[0][:N]
+            pad = (-N) % C
+            cn, ci, cv = centers_g, cand_g, valid_g
+            if pad:
+                cn = jnp.pad(cn, [(0, pad), (0, 0)])
+                ci = jnp.pad(ci, [(0, pad), (0, 0)])
+                cv = jnp.pad(cv, [(0, pad), (0, 0)])
+            geo = aabbs if strategy == "lattice" else vworld
+            keeps, kc_dev, sqd_cen = _cull_group(
+                packed, geo, cn, ci, cv, jnp.float32(half),
+                C=C, strategy=strategy,
             )
-            sqd_cen = (
-                jnp.concatenate(sqd_parts)[:N]
-                if len(sqd_parts) > 1
-                else sqd_parts[0][:N]
-            )
-            kcounts = np.asarray(
-                jnp.concatenate(kcount_parts)[:N]
-                if len(kcount_parts) > 1
-                else kcount_parts[0][:N]
-            )
+            keeps = keeps[:N]
+            sqd_cen = sqd_cen[:N]
+            kcounts = np.asarray(kc_dev[:N])
 
             terminal = (kcounts <= min_triangles_per_node) | (
                 depth == max_depth

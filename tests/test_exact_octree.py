@@ -190,3 +190,32 @@ def test_vertex_format_tier_stays_exact(monkeypatch):
         np.asarray(real.get_distance(pts)),
         rtol=1e-5, atol=2e-6,
     )
+
+
+def test_nonmanifold_seam_mesh_build_and_query():
+    """End-to-end build + exact query on a duplicated-seam mesh: the
+    union-find vertex merge (triangle.py, reference
+    TriangleUtils.cpp:292-420) must feed correct pseudonormals through a
+    whole build, not just the kernel property tests."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    from make_goldens import non_manifold_fin_mesh
+
+    mesh = non_manifold_fin_mesh()
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16
+    )
+    real = RealSdf(mesh)
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4, (4096, 3)).astype(
+        np.float32
+    )
+    d_e = np.asarray(ex.get_distance(pts))
+    d_r = np.asarray(real.get_distance(pts))
+    np.testing.assert_allclose(d_e, d_r, rtol=1e-5, atol=1e-6)
+    # signs must be coherent (inside negative): probe the tube center ring
+    inside = np.stack([np.full(8, 0.3), np.zeros(8), np.zeros(8)], -1).astype(
+        np.float32
+    )
+    assert np.all(np.asarray(ex.get_distance(inside)) < 0)
