@@ -813,20 +813,39 @@ def _build_exact(
         for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
-            pad = (-N) % C
+            # Fixed-size SUPER-chunks: the lax.map length inside
+            # _cull_group must be static or every distinct group size
+            # compiles a fresh variant (measured as a 30x build blowup in
+            # remote compiles). 16 chunks per dispatch cuts the eager
+            # dispatch count 16x vs the per-chunk loop while keeping the
+            # compile-variant count at one per (C, K) shape.
+            SC = C * 16
+            pad = (-N) % SC
             cn, ci, cv = centers_g, cand_g, valid_g
             if pad:
                 cn = jnp.pad(cn, [(0, pad), (0, 0)])
                 ci = jnp.pad(ci, [(0, pad), (0, 0)])
                 cv = jnp.pad(cv, [(0, pad), (0, 0)])
             geo = aabbs if strategy == "lattice" else vworld
-            keeps, kc_dev, sqd_cen = _cull_group(
-                packed, geo, cn, ci, cv, jnp.float32(half),
-                C=C, strategy=strategy,
-            )
-            keeps = keeps[:N]
-            sqd_cen = sqd_cen[:N]
-            kcounts = np.asarray(kc_dev[:N])
+            parts = []
+            for i in range(0, N + pad, SC):
+                parts.append(_cull_group(
+                    packed, geo,
+                    jax.lax.dynamic_slice_in_dim(cn, i, SC),
+                    jax.lax.dynamic_slice_in_dim(ci, i, SC),
+                    jax.lax.dynamic_slice_in_dim(cv, i, SC),
+                    jnp.float32(half),
+                    C=C, strategy=strategy,
+                ))
+            if len(parts) > 1:
+                keeps = jnp.concatenate([pt[0] for pt in parts])[:N]
+                kc_dev = jnp.concatenate([pt[1] for pt in parts])[:N]
+                sqd_cen = jnp.concatenate([pt[2] for pt in parts])[:N]
+            else:
+                keeps = parts[0][0][:N]
+                kc_dev = parts[0][1][:N]
+                sqd_cen = parts[0][2][:N]
+            kcounts = np.asarray(kc_dev)
 
             terminal = (kcounts <= min_triangles_per_node) | (
                 depth == max_depth
