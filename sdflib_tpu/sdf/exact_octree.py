@@ -35,17 +35,19 @@ from ..mesh import BoundingBox, Mesh
 from ..triangle import TriangleDataSoA, calculate_mesh_triangle_data
 from ..ops.box import box_distance, box_distance_gradient
 from ..ops.point_triangle import (
-    NUM_PACKED_FIELDS,
     pack_triangle_fields,
-    signed_dist_grad_pair,
-    signed_dist_pair,
     pack_triangle_full_fields,
+    signed_dist_grad_pair,
     signed_dist_from_rows,
     sq_dist_from_field_fn,
     sq_dist_from_vertex_cols,
     sq_dist_packed,
-    sq_dist_pair,
 )
+from .octree import _build_leaf_grid, _select8
+from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
+from .sdf_function import SdfFormat, SdfFunction
+
+__all__ = ["ExactOctreeSdf"]
 
 
 def _bucket_sqdist(px, py, pz, field_fn, nf: int):
@@ -57,11 +59,6 @@ def _bucket_sqdist(px, py, pz, field_fn, nf: int):
     if nf == 9:
         return sq_dist_from_vertex_cols(px, py, pz, field_fn)
     return sq_dist_from_field_fn(px, py, pz, field_fn)
-from .octree import _build_leaf_grid, _select8
-from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
-from .sdf_function import SdfFormat, SdfFunction
-
-__all__ = ["ExactOctreeSdf"]
 
 
 # 8 cube corners in {-1,1}^3 (offset units of the node half size).
