@@ -46,6 +46,30 @@ def build_generator(reference: str, out: str) -> None:
     subprocess.run(cmd, check=True)
 
 
+def build_builders_generator(reference: str, out: str) -> None:
+    """Compile gen_builders.cpp with the reference's REAL builder translation
+    units (BFS no-delay + DFS octree builders, the exact DFS builder, GJK,
+    the ICG TriangleMeshDistance BVH) against the functional cereal shim."""
+    cmd = [
+        "g++", "-O1", "-std=c++17", "-fopenmp",
+        "-I", os.path.join(HERE, "shim"),
+        "-I", os.path.join(reference, "include"),
+        "-I", os.path.join(reference, "src"),
+        "-I", os.path.join(reference, "libs"),
+        "-I", os.path.join(reference, "libs/InteractiveComputerGraphics"),
+        os.path.join(HERE, "gen_builders.cpp"),
+        os.path.join(reference, "src/sdf/OctreeSdf.cpp"),
+        os.path.join(reference, "src/sdf/OctreeSdfUniform.cpp"),
+        os.path.join(reference, "src/sdf/ExactOctreeSdf.cpp"),
+        os.path.join(reference, "src/utils/TriangleUtils.cpp"),
+        os.path.join(reference, "src/utils/Mesh.cpp"),
+        os.path.join(reference, "src/utils/GJK.cpp"),
+        os.path.join(reference, "src/utils/Timer.cpp"),
+        "-o", out,
+    ]
+    subprocess.run(cmd, check=True)
+
+
 def write_mesh_raw(path: str, mesh) -> None:
     v = np.ascontiguousarray(mesh.vertices, np.float32)
     idx = np.ascontiguousarray(mesh.indices, np.uint32).reshape(-1, 3)
@@ -199,6 +223,72 @@ def main() -> None:
     with open(os.path.join(DATA, "octree_torus_cpp.bin"), "wb") as f:
         f.write(rewritten)
     print("octree goldens written")
+
+    # -- REFERENCE-BUILT structures (gen_builders.cpp) -----------------------
+    # The reference's own builders construct OctreeSdf (NO_CONTINUITY +
+    # CONTINUITY no-delay) and ExactOctreeSdf on a small torus; the COMPILED
+    # getDistance queries them; the .bins are written through the
+    # reference's save() templates. Parity tests then require our loaders
+    # to parse these and our queries to match the C++ outputs.
+    genb = os.path.join(tmp, "gen_builders")
+    build_builders_generator(args.reference, genb)
+
+    bmesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    bmesh_raw = os.path.join(tmp, "builders.mesh")
+    write_mesh_raw(bmesh_raw, bmesh)
+    rng = np.random.default_rng(3)
+    bpts = rng.uniform(-0.55, 0.55, (20_000, 3)).astype(np.float32)
+    bpts_raw = os.path.join(tmp, "builders.pts")
+    write_points_raw(bpts_raw, bpts)
+    prefix = os.path.join(tmp, "bld")
+    subprocess.run(
+        [genb, "build", bmesh_raw, bpts_raw, prefix, "5", "2", "32", "1e-3"],
+        check=True,
+    )
+    import shutil
+
+    for tag in ("octree_nc", "octree_cont", "exact"):
+        shutil.copy(
+            f"{prefix}_{tag}.bin",
+            os.path.join(DATA, f"builders_{tag}.bin"),
+        )
+    np.savez_compressed(
+        os.path.join(DATA, "builders_torus.npz"),
+        points=bpts,
+        **{
+            f"{tag}_{kind}": np.fromfile(
+                f"{prefix}_{tag}_{kind}.raw", "<f4"
+            ).reshape((-1, 3) if kind == "grad" else (-1,))
+            for tag in ("octree_nc", "octree_cont", "exact")
+            for kind in ("dist", "grad")
+        },
+    )
+    print("reference-built builder goldens written")
+
+    # -- our exact .bin -> compiled C++ decoder round trip -------------------
+    # _save_exact_bin writes the bit-packed EXACT_OCTREE container; the
+    # compiled reference load() decodes it and queries. Its distances must
+    # agree with the reference-built exact tree's (both are exact SDFs of
+    # the same mesh, so values match regardless of tree shape).
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+
+    bbox = bmesh.bounding_box.add_margin(
+        0.2 * float(np.max(bmesh.bounding_box.size))
+    )
+    ours = ExactOctreeSdf(
+        bmesh, bbox, max_depth=5, start_depth=2, min_triangles_per_node=32
+    )
+    ours_bin = os.path.join(tmp, "ours_exact.bin")
+    save_sdflib_bin(ours, ours_bin)
+    prefix = os.path.join(tmp, "rt")
+    subprocess.run([genb, "exactquery", ours_bin, bpts_raw, prefix], check=True)
+    np.savez_compressed(
+        os.path.join(DATA, "exact_bin_roundtrip.npz"),
+        points=bpts,
+        dist=np.fromfile(prefix + "_dist.raw", "<f4"),
+        grad=np.fromfile(prefix + "_grad.raw", "<f4").reshape(-1, 3),
+    )
+    print("exact .bin C++ round-trip golden written")
 
 
 if __name__ == "__main__":

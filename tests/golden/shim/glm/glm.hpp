@@ -55,6 +55,7 @@ typedef tvec3<float> vec3;
 typedef tvec4<float> vec4;
 typedef tvec3<double> dvec3;
 typedef tvec3<int> ivec3;
+typedef tvec3<unsigned int> uvec3;
 
 // ---- vec2 ops --------------------------------------------------------------
 inline vec2 operator+(vec2 a, vec2 b) { return vec2(a.x + b.x, a.y + b.y); }
@@ -90,6 +91,9 @@ template <typename T> inline tvec3<T> operator/(tvec3<T> v, T s) {
 }
 template <typename T> inline tvec3<T> operator/(tvec3<T> a, tvec3<T> b) {
     return tvec3<T>(a.x / b.x, a.y / b.y, a.z / b.z);
+}
+template <typename T> inline tvec3<T> operator/(T s, tvec3<T> v) {
+    return tvec3<T>(s / v.x, s / v.y, s / v.z);
 }
 template <typename T> inline tvec3<T>& operator+=(tvec3<T>& a, tvec3<T> b) {
     a.x += b.x; a.y += b.y; a.z += b.z; return a;
@@ -160,6 +164,22 @@ template <typename T> inline tvec3<T> floor(tvec3<T> v) {
 template <typename T> inline tvec3<T> fract(tvec3<T> v) {
     return v - floor(v);
 }
+inline float fract(float v) { return v - std::floor(v); }
+inline float round(float v) { return std::round(v); }
+template <typename T> inline tvec3<T> round(tvec3<T> v) {
+    return tvec3<T>(std::round(v.x), std::round(v.y), std::round(v.z));
+}
+inline float pow(float a, float b) { return std::pow(a, b); }
+template <typename T> inline tvec3<T> ceil(tvec3<T> v) {
+    return tvec3<T>(std::ceil(v.x), std::ceil(v.y), std::ceil(v.z));
+}
+inline float ceil(float v) { return std::ceil(v); }
+template <typename T> inline tvec3<T> sign(tvec3<T> v) {
+    return tvec3<T>(T((v.x > 0) - (v.x < 0)), T((v.y > 0) - (v.y < 0)),
+                    T((v.z > 0) - (v.z < 0)));
+}
+inline float log2(float v) { return std::log2(v); }
+inline float floor(float v) { return std::floor(v); }
 
 // ---- mat3 (column-major: m[i] is column i) ---------------------------------
 struct mat3x3 {

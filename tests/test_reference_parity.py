@@ -190,3 +190,65 @@ def test_goldens_regenerable():
         os.path.join(here, "gen_golden.cpp"),
     ]
     subprocess.run(cmd, check=True)
+
+
+# -- reference-BUILT structures (gen_builders.cpp) ---------------------------
+
+BUILDERS_NPZ = os.path.join(DATA, "builders_torus.npz")
+
+builders_mark = pytest.mark.skipif(
+    not os.path.exists(BUILDERS_NPZ), reason="builder goldens not generated"
+)
+
+
+@builders_mark
+@pytest.mark.parametrize("tag", ["octree_nc", "octree_cont"])
+def test_reference_built_octree_matches_cpp(tag):
+    """An OctreeSdf CONSTRUCTED BY THE COMPILED REFERENCE BUILDER
+    (OctreeSdfDepthFirst.h NO_CONTINUITY / OctreeSdfBreadthFirstNoDelay.h
+    CONTINUITY + VHQueries + TriCubicInterpolation), serialized through
+    the reference's save(), must parse with our loader and produce the
+    same distances/gradients as the compiled OctreeSdf::getDistance."""
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin
+
+    g = np.load(BUILDERS_NPZ)
+    sdf = load_sdflib_bin(os.path.join(DATA, f"builders_{tag}.bin"))
+    pts = jnp.asarray(g["points"])
+    d = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d, g[f"{tag}_dist"], atol=5e-5)
+    d2, grad = sdf.get_distance_and_gradient(pts)
+    np.testing.assert_allclose(np.asarray(d2), g[f"{tag}_dist"], atol=5e-5)
+    err = np.linalg.norm(np.asarray(grad) - g[f"{tag}_grad"], axis=-1)
+    assert (err > 1e-3).mean() < 1e-3
+
+
+@builders_mark
+def test_reference_built_exact_octree_matches_cpp():
+    """An ExactOctreeSdf built by the compiled reference builder
+    (ExactOctreeSdfDepthFirst.h, PerNodeRegion influence) — including its
+    bit-packed leaf sets and per-parent masks — must decode through
+    io/sdflib_binary.py and match the compiled ExactOctreeSdf::getDistance
+    bit-for-fp-rounding."""
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin
+
+    g = np.load(BUILDERS_NPZ)
+    sdf = load_sdflib_bin(os.path.join(DATA, "builders_exact.bin"))
+    pts = jnp.asarray(g["points"])
+    d = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d, g["exact_dist"], atol=2e-5)
+    d2, grad = sdf.get_distance_and_gradient(pts)
+    np.testing.assert_allclose(np.asarray(d2), g["exact_dist"], atol=2e-5)
+    err = np.linalg.norm(np.asarray(grad) - g["exact_grad"], axis=-1)
+    assert (err > 1e-3).mean() < 1e-3
+
+
+@builders_mark
+def test_our_exact_bin_decodes_in_cpp():
+    """Our _save_exact_bin container, decoded and queried by the COMPILED
+    reference load()/getDistance (captured at golden-generation time),
+    agrees with the reference-built exact tree — both are exact SDFs of
+    the same mesh, so distances match regardless of tree shape."""
+    g = np.load(BUILDERS_NPZ)
+    rt = np.load(os.path.join(DATA, "exact_bin_roundtrip.npz"))
+    np.testing.assert_array_equal(rt["points"], g["points"])
+    np.testing.assert_allclose(rt["dist"], g["exact_dist"], atol=2e-5)
