@@ -107,8 +107,14 @@ def render_plane_cut(
     ddy = np.diff(d, axis=0, append=d[-1:, :])
     ddist = np.maximum(np.hypot(ddx, ddy), 0.0008)
 
-    # Isosurface band (:155)
-    surface_w = np.clip(1.0 - (np.abs(d) / (ddist * surface_thickness)) ** 8, 0, 1)
+    # Isosurface band (:155); thickness <= 0 disables it (the |d|/0 -> inf
+    # route produced the right pixels but a divide RuntimeWarning).
+    if surface_thickness > 0.0:
+        surface_w = np.clip(
+            1.0 - (np.abs(d) / (ddist * surface_thickness)) ** 8, 0, 1
+        )
+    else:
+        surface_w = np.zeros_like(d)
 
     # Node grid overlay (:158): distToGrid masked by the plane normal axis
     dist_axis, rel_len = _octree_node_metrics(octree, pts.reshape(-1, 3))

@@ -33,6 +33,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Error decay for by_distance_rule")
     p.add_argument("--min_triangles_per_node", type=int, default=32,
                    help="Exact octree leaf size (CLI default 32)")
+    p.add_argument("--strategy", default="lattice",
+                   choices=["lattice", "basic", "precise", "per_vertex"],
+                   help="Exact-octree triangle influence strategy "
+                        "(lattice is the house default; basic/precise/"
+                        "per_vertex mirror the reference's "
+                        "TrianglesInfluence variants)")
+    p.add_argument("--futility", type=float, default=0.8,
+                   help="Exact-octree futility termination ratio: a node "
+                        "whose culled list keeps >= this fraction of its "
+                        "parent's becomes a leaf (an exactness-preserving "
+                        "deviation from the reference, on by default). "
+                        "Pass a value < 0 to disable and produce "
+                        "reference-shaped trees")
     p.add_argument("--sdf_format", default="octree",
                    choices=["octree", "grid", "exact_octree"])
     p.add_argument("--algorithm", default="no_continuity",
@@ -77,6 +90,8 @@ def main(argv=None) -> int:
             mesh, box, max_depth=depth,
             start_depth=args.start_depth if args.start_depth is not None else 2,
             min_triangles_per_node=args.min_triangles_per_node,
+            strategy=args.strategy,
+            futility=args.futility if args.futility >= 0 else None,
         )
     else:
         depth = args.depth if args.depth is not None else 7

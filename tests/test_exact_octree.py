@@ -133,6 +133,38 @@ def test_strategies_stay_exact(strategy):
     )
 
 
+def test_futility_none_reference_shaped_tree():
+    """futility=None disables the house futility rule: subdivision stops
+    only at min-triangles or max-depth (the reference's rules,
+    ExactOctreeSdfDepthFirst.h:299-302). The resulting tree must be at
+    least as deep/large as the futility-shaped one and queries must stay
+    exact."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
+    fut = ExactOctreeSdf(mesh, box, futility=0.8, **kw)
+    ref = ExactOctreeSdf(mesh, box, futility=None, **kw)
+    # Reference-shaped trees never terminate early, so every leaf with
+    # more than min_triangles sits at max_depth; the tree has at least as
+    # many leaves as the futility-shaped one.
+    assert len(ref.build_stats["tris_per_leaf"]) >= len(
+        fut.build_stats["tris_per_leaf"]
+    )
+    assert ref.build_stats["nodes_per_depth"].get(4, 0) > 0  # reaches max depth
+    real = RealSdf(mesh)
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(ref.box.min + 1e-4, ref.box.max - 1e-4, (4096, 3)).astype(
+        np.float32
+    )
+    d_ref = np.asarray(real.get_distance(pts))
+    np.testing.assert_allclose(
+        np.asarray(ref.get_distance(pts)), d_ref, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fut.get_distance(pts)), d_ref, rtol=1e-5, atol=1e-6
+    )
+
+
 def test_lattice_tighter_than_basic():
     """The house lattice cull must produce lists at least as tight as the
     reference Basic criterion (that's its reason to exist)."""
