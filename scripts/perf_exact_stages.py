@@ -1,0 +1,204 @@
+"""Per-stage ablation of the fused exact query on the real TPU.
+
+Builds jitted prefix-programs of the query pipeline and times each, so the
+incremental cost of every stage is measured in THIS session (tunnel
+weather makes cross-session comparisons invalid, CLAUDE.md).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from functools import partial
+
+from perf_exact import get_structure  # noqa: E402  (same scripts dir)
+
+
+def timeit(fn, *args, iters=5):
+    import jax.numpy as jnp
+    out = fn(*args)
+    # force: scalar readback on first leaf
+    leaf = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(leaf.astype(jnp.float32)))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        leaf = out[0] if isinstance(out, tuple) else out
+        float(jnp.sum(leaf.astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from sdflib_tpu.sdf import exact_octree as eo
+
+    ex = get_structure(False)
+    n = 1 << 21
+    rng = np.random.default_rng(0)
+    lo = np.asarray(ex.box.min) + 1e-4
+    hi = np.asarray(ex.box.max) - 1e-4
+    pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+
+    box_min = jnp.asarray(ex.box.min)
+    box_size = jnp.float32(ex.box.size[0])
+    G = ex._pick_group_width(pts, n)
+    L = int(ex.leaf_offset.shape[0])
+    NG = eo._round_pow2(min(n, n // G + L), 64)
+    CH = ex.scan_chunk
+    max_cnt = int(np.max(np.asarray(ex.leaf_count), initial=1))
+    max_chunks = -(-max_cnt // CH)
+    NB = 64
+    while NB * 2 * G * CH <= ex._GROUP_PAIR_BUDGET:
+        NB *= 2
+    NB = min(NB, NG)
+    print(f"G={G} NG={NG} NB={NB} CH={CH} max_chunks={max_chunks} L={L}")
+
+    gd = ex.max_depth
+
+    @jax.jit
+    def s1_descent(p):
+        return eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )[0]
+
+    @jax.jit
+    def s2_argsort(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        return jnp.argsort(lid)
+
+    @jax.jit
+    def s3_permute(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        order = jnp.argsort(lid)
+        return p[order], lid[order]
+
+    @jax.jit
+    def s3b_lax_sort(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        iota = jnp.arange(p.shape[0], dtype=jnp.int32)
+        lid_s, xs, ys, zs, order = jax.lax.sort(
+            (lid, p[:, 0], p[:, 1], p[:, 2], iota), num_keys=1
+        )
+        return xs, lid_s, order
+
+    @jax.jit
+    def s4_groups(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        order = jnp.argsort(lid)
+        pts_s = p[order]
+        lid_s = lid[order]
+        gid, lane = eo._assign_groups(lid_s, G=G)
+        return eo._scatter_groups(pts_s, lid_s, gid, lane, G=G, NG=NG)[0]
+
+    @jax.jit
+    def s5_scan(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        order = jnp.argsort(lid)
+        pts_s = p[order]
+        lid_s = lid[order]
+        gid, lane = eo._assign_groups(lid_s, G=G)
+        gpts, gvalid, gleaf, slot = eo._scatter_groups(
+            pts_s, lid_s, gid, lane, G=G, NG=NG
+        )
+
+        def blk(args):
+            bp, bv, bl = args
+            return eo._exact_scan_grouped(
+                ex.leaf_offset, ex.leaf_count, ex.leaf_centers,
+                ex.bucket_ids, ex.bucket_fields, ex.bucket_cmin,
+                bp, bv, bl,
+                max_chunks=max_chunks, early_exit=True,
+                prologue=ex._scan_prologue,
+            )
+
+        nblocks = NG // NB
+        wins, _ = jax.lax.map(
+            blk,
+            (
+                gpts.reshape(nblocks, NB, G, 3),
+                gvalid.reshape(nblocks, NB, G),
+                gleaf.reshape(nblocks, NB),
+            ),
+        )
+        return wins.reshape(-1)[slot]
+
+    @jax.jit
+    def s6_finish(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        order = jnp.argsort(lid)
+        pts_s = p[order]
+        lid_s = lid[order]
+        gid, lane = eo._assign_groups(lid_s, G=G)
+        gpts, gvalid, gleaf, slot = eo._scatter_groups(
+            pts_s, lid_s, gid, lane, G=G, NG=NG
+        )
+
+        def blk(args):
+            bp, bv, bl = args
+            return eo._exact_scan_grouped(
+                ex.leaf_offset, ex.leaf_count, ex.leaf_centers,
+                ex.bucket_ids, ex.bucket_fields, ex.bucket_cmin,
+                bp, bv, bl,
+                max_chunks=max_chunks, early_exit=True,
+                prologue=ex._scan_prologue,
+            )
+
+        nblocks = NG // NB
+        wins, _ = jax.lax.map(
+            blk,
+            (
+                gpts.reshape(nblocks, NB, G, 3),
+                gvalid.reshape(nblocks, NB, G),
+                gleaf.reshape(nblocks, NB),
+            ),
+        )
+        win_s = wins.reshape(-1)[slot]
+        rel = (pts_s - box_min) / box_size
+        in_box_s = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+        return eo._exact_finish(
+            ex.triangles, pts_s, win_s, in_box_s, box_min, box_size,
+            with_gradient=False,
+        )
+
+    full = partial(ex.get_distance)
+
+    t1 = timeit(s1_descent, pts)
+    t2 = timeit(s2_argsort, pts)
+    t3 = timeit(s3_permute, pts)
+    t3b = timeit(s3b_lax_sort, pts)
+    t4 = timeit(s4_groups, pts)
+    t5 = timeit(s5_scan, pts)
+    t6 = timeit(s6_finish, pts)
+    t7 = timeit(full, pts)
+
+    print(f"descent                  {t1*1e3:7.1f} ms")
+    print(f"+argsort                 {t2*1e3:7.1f} ms  (+{(t2-t1)*1e3:.1f})")
+    print(f"+permute                 {t3*1e3:7.1f} ms  (+{(t3-t2)*1e3:.1f})")
+    print(f"descent+lax.sort(5 ops)  {t3b*1e3:7.1f} ms  (vs permute path {t3*1e3:.1f})")
+    print(f"+groups+scatter          {t4*1e3:7.1f} ms  (+{(t4-t3)*1e3:.1f})")
+    print(f"+scan+slotgather         {t5*1e3:7.1f} ms  (+{(t5-t4)*1e3:.1f})")
+    print(f"+finish(sorted)          {t6*1e3:7.1f} ms  (+{(t6-t5)*1e3:.1f})")
+    print(f"full query (unsorted out){t7*1e3:7.1f} ms  (+{(t7-t6)*1e3:.1f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -530,9 +530,15 @@ def _exact_query_fused(
         )
 
     # -- leaf-coherent ordering + grouping ----------------------------------
-    order = jnp.argsort(leaf_id)
-    pts_s = pts[order]
-    lid_s = leaf_id[order]
+    # ONE multi-operand lax.sort carries the coordinates and the original
+    # index with the key, replacing argsort + a separate (P, 3) permute
+    # (each a full latency-bound pass; the variable-width sort payload
+    # rides the same comparator network nearly for free).
+    iota = jnp.arange(pts.shape[0], dtype=jnp.int32)
+    lid_s, xs, ys, zs, order = jax.lax.sort(
+        (leaf_id, pts[:, 0], pts[:, 1], pts[:, 2], iota), num_keys=1
+    )
+    pts_s = jnp.stack([xs, ys, zs], axis=-1)
     gid, lane = _assign_groups(lid_s, G=G)
     gpts, gvalid, gleaf, slot = _scatter_groups(
         pts_s, lid_s, gid, lane, G=G, NG=NG
@@ -575,12 +581,16 @@ def _exact_query_fused(
         tris, pts_s, win_s, in_box_s, box_min, box_size,
         with_gradient=with_gradient,
     )
+    # Unsort by SORTING on the carried original index (a permutation of
+    # iota): a comparator-network pass over sequential memory, measured
+    # cheaper than the random-access (P,) scatter it replaces.
     if with_gradient:
         d_s, g_s = out_s
-        d = jnp.zeros_like(d_s).at[order].set(d_s)
-        g = jnp.zeros_like(g_s).at[order].set(g_s)
-        return (d, g), iters
-    d = jnp.zeros_like(out_s).at[order].set(out_s)
+        _, d, gx, gy, gz = jax.lax.sort(
+            (order, d_s, g_s[:, 0], g_s[:, 1], g_s[:, 2]), num_keys=1
+        )
+        return (d, jnp.stack([gx, gy, gz], axis=-1)), iters
+    _, d = jax.lax.sort((order, out_s), num_keys=1)
     return d, iters
 
 
@@ -721,6 +731,7 @@ def _build_exact(
     strategy: str = "lattice",
     futility: float | None = 0.8,
     seed_cells: tuple[int, int] | None = None,
+    entry_budget: int = 1 << 26,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
     stats).
@@ -796,14 +807,69 @@ def _build_exact(
     # width — memory and compute track the actual list-size distribution.
     # group = (centers_dev (M,3), cand_idx_dev (M,Kg), cand_valid_dev,
     #          slots_np (M,))
-    groups = [
-        (centers, cand_idx, cand_valid, np.arange(n0, dtype=np.int64), None)
-    ]
+    #
+    # MEMORY STREAMING: work items are (groups, depth, half) on an explicit
+    # DFS stack. Before a level whose projected children state (8x the
+    # parent candidate entries, the `repeat` below) would exceed
+    # ``entry_budget`` int32 entries, the parents are split into row slices
+    # and each slice's SUBTREE builds to completion before the next starts
+    # (depth-first). Live device state is then bounded by
+    # O(entry_budget * remaining_depth) instead of O(full level width) —
+    # the round-2 failure mode where a 100k-triangle mesh could not build
+    # past depth 5 (whole levels of (N, K) candidate matrices exceeded
+    # HBM). Splits keep sibling octets (rows are appended in 8-child
+    # blocks) contiguous only incidentally; correctness needs no adjacency
+    # because child pointers are patched through ``slot_patches``.
     half = 0.5 * cell
-    depth = start_depth
+    work = [(
+        [(centers, cand_idx, cand_valid,
+          np.arange(n0, dtype=np.int64), None)],
+        start_depth,
+        half,
+    )]
+    stats["build_splits"] = 0
 
-    while groups:
-        stats["nodes_per_depth"][depth] = sum(g[0].shape[0] for g in groups)
+    while work:
+        groups, depth, half = work.pop()
+        proj = sum(8 * g[1].shape[0] * g[1].shape[1] for g in groups)
+        n_nodes = sum(g[0].shape[0] for g in groups)
+        if proj > entry_budget and n_nodes > 1:
+            # Split parents into slices whose projected children fit.
+            # The slice height is floored at 64 rows: the budget is
+            # advisory, and unfloored tiny slices (one compile per new
+            # (N, K) shape) cost far more in XLA compiles than the
+            # bounded budget overshoot costs in HBM.
+            per_slice = max(1, entry_budget // 8)
+            slices: list[list] = [[]]
+            acc = 0
+            for g in groups:
+                N, K = g[1].shape
+                step = max(64, per_slice // max(K, 1))
+                for i in range(0, N, step):
+                    j = min(N, i + step)
+                    part = (
+                        g[0][i:j], g[1][i:j], g[2][i:j], g[3][i:j],
+                        None if g[4] is None else g[4][i:j],
+                    )
+                    if acc and acc + (j - i) * K > per_slice:
+                        slices.append([])
+                        acc = 0
+                    slices[-1].append(part)
+                    acc += (j - i) * K
+            slices = [s for s in slices if s]
+            if len(slices) > 1:
+                stats["build_splits"] += len(slices) - 1
+                for s in reversed(slices):
+                    work.append((s, depth, half))
+                del groups
+                continue
+            # The 64-row floor can make further subdivision impossible;
+            # build the (bounded-overshoot) single slice instead of
+            # re-queueing it forever.
+            groups = slices[0]
+        stats["nodes_per_depth"][depth] = (
+            stats["nodes_per_depth"].get(depth, 0) + n_nodes
+        )
         # children buckets: width -> list of (centers, cand, valid, slots)
         next_buckets: dict[int, list] = {}
 
@@ -858,6 +924,16 @@ def _build_exact(
                     sqd_cen[t_dev], cand_g[t_dev], keeps[t_dev]
                 )
                 cnt_np = kcounts[t_idx]
+                # Trim the stored rows to the chunk's real max list length
+                # (kept ids are compacted to the front): the class width K
+                # can be 4x the actual counts, and leaf chunks accumulate
+                # on device for the whole build.
+                wkeep = min(
+                    ids_c.shape[1],
+                    -(-max(int(cnt_np.max(initial=1)), 1) // _LEAF_CHUNK)
+                    * _LEAF_CHUNK,
+                )
+                ids_c = ids_c[:, :wkeep]
                 leaf_chunks.append((ids_c, cnt_np))
                 leaf_center_chunks.append(np.asarray(centers_g[t_dev]))
                 stats["tris_per_leaf"].extend(int(c) for c in cnt_np)
@@ -908,8 +984,10 @@ def _build_exact(
                 )
             del keeps
 
-        # Merge same-width buckets into one group each.
-        groups = []
+        # Merge same-width buckets into one group each and queue the next
+        # level (LIFO: this subtree's children build before any sibling
+        # slice queued above them).
+        merged = []
         for w, parts in sorted(next_buckets.items()):
             if len(parts) == 1:
                 cen, ci, cv, sl, pk = parts[0]
@@ -919,9 +997,9 @@ def _build_exact(
                 cv = jnp.concatenate([p[2] for p in parts])
                 sl = np.concatenate([p[3] for p in parts])
                 pk = np.concatenate([p[4] for p in parts])
-            groups.append((cen, ci, cv, sl, pk))
-        half *= 0.5
-        depth += 1
+            merged.append((cen, ci, cv, sl, pk))
+        if merged:
+            work.append((merged, depth + 1, half * 0.5))
 
     # Pad the node array to whole 8-word rows for the row-gather descent.
     tail = (-total_len) % 64
@@ -1085,6 +1163,7 @@ class ExactOctreeSdf(SdfFunction):
         min_triangles_per_node: int = 128,
         strategy: str = "lattice",
         futility: float | None = 0.8,
+        entry_budget: int = 1 << 26,
         _state: dict | None = None,
     ):
         if _state is not None:
@@ -1111,6 +1190,7 @@ class ExactOctreeSdf(SdfFunction):
                 self.min_triangles_per_node,
                 strategy=self.strategy,
                 futility=futility,
+                entry_budget=entry_budget,
             )
         )
         self.octree_data = jnp.asarray(octree)
