@@ -88,10 +88,17 @@ def _grid_distance_and_step(
         in_box, d_in, box_distance(pts, center, size3) + min_border_value
     )
 
-    # Ray/cell-AABB exit distance (world units).
+    # Ray/LEAF-AABB exit distance (world units). The row's depth word
+    # locates the leaf's own box (size box_size/2^depth), so one step
+    # crosses the ENTIRE empty leaf — not just the finest grid cell the
+    # ray happens to sit in (the round-2 skip: crossing a depth-2 empty
+    # leaf at depth-7 grid resolution cost 32 gathers; now it costs one).
+    # The overshoot epsilon stays at finest-cell scale to keep the hit
+    # position error bound independent of leaf size.
     cell_size = box_size / g
-    cell_min = box_min + cell.astype(pts.dtype) * cell_size
-    far_face = cell_min + (dirs > 0).astype(pts.dtype) * cell_size
+    leaf_size = box_size / scale                       # (...,) per-point
+    leaf_min = box_min + jnp.floor(f) * leaf_size[..., None]
+    far_face = leaf_min + (dirs > 0).astype(pts.dtype) * leaf_size[..., None]
     t_ax = jnp.where(
         dirs != 0.0, (far_face - pts) / dirs, jnp.inf
     )
