@@ -42,6 +42,7 @@ __all__ = [
     "gjk_max_distance",
     "minkowski_box_triangle",
     "frank_wolfe_min_norm",
+    "corner_sphere_hull_tri_lower",
     "GJK_ITERATIONS",
 ]
 
@@ -256,3 +257,76 @@ def gjk_max_distance(box_center, box_half, tri_verts):
     of both convex hulls (getMinMaxDistance role, GJK.cpp:617)."""
     diff = minkowski_box_triangle(box_center, box_half, tri_verts)
     return jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+
+def corner_sphere_hull_tri_lower(
+    center, half, radii, tri_verts, iterations: int = GJK_ITERATIONS
+):
+    """LOWER bound on dist(conv(tri_verts), H) where H is the convex hull
+    of eight spheres centered at the node corners with per-corner radii —
+    the box (+) per-vertex-radius influence hulls of the reference's
+    Precise/PerVertex strategies (GJK.cpp:661-867 isInsideConvexHull /
+    IsNearMinimize over vertices+radius support points).
+
+    Frank-Wolfe over D = conv(tri) (-) H with the standard dual bound:
+    for any iterate x != 0 and LMO vertex v, every y in D satisfies
+    |y| >= (x . v)/|x|; the max of that bound over iterations is returned.
+    The linear oracle needs only the support of H,
+    S_H(g) = max_c (corner_c . g + r_c |g|) — no explicit sphere
+    tessellation. A lower bound makes the CULL decision conservative
+    (only provably-outside triangles are dropped), unlike the reference's
+    upper-bound Frank-Wolfe which can over-cull below its 15-iteration
+    convergence; exactness tests therefore remain strict.
+
+    center (..., 3), half scalar, radii (..., 8), tri_verts (..., 3, 3)
+    -> (...,). Negative values mean "possibly intersecting".
+    """
+    center = jnp.asarray(center, jnp.float32)
+    tri_verts = jnp.asarray(tri_verts, jnp.float32)
+    radii = jnp.asarray(radii, jnp.float32)
+    corners = (
+        center[..., None, :]
+        + jnp.asarray(_BOX_SIGNS) * jnp.asarray(half, jnp.float32)
+    )  # (..., 8, 3)
+
+    x0 = jnp.mean(tri_verts, axis=-2) - center  # centroid - center: in D
+    big_neg = jnp.asarray(-jnp.inf, jnp.float32)
+
+    def body(_, carry):
+        x, best = carry
+        xn = jnp.sqrt(jnp.sum(x * x, axis=-1))
+        safe = jnp.maximum(xn, 1e-30)
+        # LMO over D: nearest triangle vertex minus farthest hull point.
+        td = jnp.sum(tri_verts * x[..., None, :], axis=-1)      # (..., 3)
+        t_oh = (
+            jnp.argmin(td, axis=-1)[..., None]
+            == jnp.arange(3)
+        )
+        a = jnp.sum(jnp.where(t_oh[..., None], tri_verts, 0.0), axis=-2)
+        hd = jnp.sum(corners * x[..., None, :], axis=-1) + radii * xn[..., None]
+        h_oh = (
+            jnp.argmax(hd, axis=-1)[..., None]
+            == jnp.arange(8)
+        )
+        b_corner = jnp.sum(jnp.where(h_oh[..., None], corners, 0.0), axis=-2)
+        b_r = jnp.sum(jnp.where(h_oh, radii, 0.0), axis=-1)
+        v = a - b_corner - b_r[..., None] * (x / safe[..., None])
+        lower = jnp.sum(x * v, axis=-1) / safe
+        best = jnp.maximum(best, jnp.where(xn > 1e-20, lower, big_neg))
+        # FW step with exact line search toward v.
+        d = v - x
+        dd = jnp.sum(d * d, axis=-1)
+        gamma = jnp.where(
+            dd > 0.0,
+            jnp.clip(
+                -jnp.sum(x * d, axis=-1) / jnp.maximum(dd, 1e-30), 0.0, 1.0
+            ),
+            0.0,
+        )
+        return x + gamma[..., None] * d, best
+
+    _, best = jax.lax.fori_loop(
+        0, iterations, body,
+        (x0, jnp.full(x0.shape[:-1], big_neg, jnp.float32)),
+    )
+    return best

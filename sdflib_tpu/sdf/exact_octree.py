@@ -182,7 +182,139 @@ def _basic_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
     return keep, jnp.sum(keep, axis=1), sqd_center
 
 
-_CULL_STRATEGIES = ("lattice", "basic")
+@jax.jit
+def _per_vertex_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
+    """Reference PerVertexTrianglesInfluence<1> semantics
+    (TrianglesInfluence.h:286-476): each node corner's NEAREST candidate
+    triangle defines an influence hull — the convex hull of spheres at
+    the 8 corners with radii d(corner_c, nearest_i) - min_c d(corner_c,
+    nearest_i) — and a candidate survives the test at its closest corner
+    vId iff it is the corner's own nearest triangle or its distance to
+    that hull is below minDist[vId] (IsNearMinimize, GJK.cpp:661-867).
+    The hull distance uses the Frank-Wolfe LOWER bound
+    (ops/gjk.py corner_sphere_hull_tri_lower), so only provably-outside
+    triangles are culled — conservative where the reference's 15-iteration
+    upper bound could over-cull."""
+    from ..ops.gjk import corner_sphere_hull_tri_lower
+
+    fields = packed[cand_idx]                        # (C, K, 19)
+    tv = vworld[cand_idx]                            # (C, K, 3, 3)
+    K = cand_idx.shape[1]
+    px = centers[:, 0:1]
+    py = centers[:, 1:2]
+    pz = centers[:, 2:3]
+
+    sqd_center = jnp.where(
+        cand_valid, sq_dist_packed(px, py, pz, fields), jnp.inf
+    )
+    # d(corner_c, tri_k) for the 8 corners: (C, 8, K)
+    corner_d = []
+    for c in range(8):
+        off = jnp.asarray(_CORNER_OFFS[c]) * half
+        sqd_c = sq_dist_packed(px + off[0], py + off[1], pz + off[2], fields)
+        corner_d.append(
+            jnp.sqrt(jnp.where(cand_valid, sqd_c, jnp.inf))
+        )
+    D = jnp.stack(corner_d, axis=1)                  # (C, 8, K)
+
+    # verticesInfo: local candidate index of each corner's nearest triangle
+    nb = jnp.argmin(D, axis=2)                       # (C, 8)
+    # region radii: d(corner_c, tri_nb[i]) for all corner pairs (C, 8i, 8c)
+    nb_oh = nb[:, :, None, None] == jnp.arange(K)[None, None, None, :]
+    radii = jnp.sum(
+        jnp.where(nb_oh, D[:, None, :, :], 0.0), axis=3
+    )                                                # (C, 8i, 8c)
+    minv = jnp.min(radii, axis=2)                    # (C, 8)
+    radii = radii - minv[:, :, None]
+
+    # Test corner per candidate: the corner closest to the triangle.
+    vid = jnp.argmin(D, axis=1)                      # (C, K)
+    vid_oh = vid[:, None, :] == jnp.arange(8)[None, :, None]  # (C, 8, K)
+    radii_k = jnp.sum(
+        jnp.where(vid_oh[:, :, None, :], radii[:, :, :, None], 0.0), axis=1
+    )                                                # (C, 8c, K)
+    thr = jnp.sum(jnp.where(vid_oh, minv[:, :, None], 0.0), axis=1)  # (C, K)
+    region_tri = jnp.sum(
+        jnp.where(vid_oh, nb[:, :, None], 0), axis=1
+    )                                                # (C, K)
+
+    lower = corner_sphere_hull_tri_lower(
+        jnp.broadcast_to(centers[:, None, :], (centers.shape[0], K, 3)),
+        half,
+        radii_k.transpose(0, 2, 1),                  # (C, K, 8)
+        tv,
+    )                                                # (C, K)
+    own = region_tri == jnp.arange(K)[None, :]
+    keep = (own | (lower <= thr)) & cand_valid
+    return keep, jnp.sum(keep, axis=1), sqd_center
+
+
+# Precise strategy: candidates are tested against every influence region;
+# regions are capped to the strongest few (smallest corner distance) —
+# dropping regions only weakens the cull, so exactness is unaffected.
+_PRECISE_MAX_REGIONS = 16
+
+
+@jax.jit
+def _precise_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
+    """Reference PreciseTrianglesInfluence semantics
+    (TrianglesInfluence.h:191-284): every candidate whose 8-corner
+    distances dip below maxMinDist spans an influence region (corner
+    spheres with radii d(corner_c, tri_j)); a candidate is culled iff it
+    lies provably outside ANY other candidate's region hull
+    (isInsideConvexHull with threshold 0). Regions are capped at the
+    _PRECISE_MAX_REGIONS tightest (exactness-preserving; see above), and
+    the hull test is the conservative Frank-Wolfe lower bound."""
+    from ..ops.gjk import corner_sphere_hull_tri_lower
+
+    fields = packed[cand_idx]                        # (C, K, 19)
+    tv = vworld[cand_idx]                            # (C, K, 3, 3)
+    C, K = cand_idx.shape
+    R = min(_PRECISE_MAX_REGIONS, K)
+    px = centers[:, 0:1]
+    py = centers[:, 1:2]
+    pz = centers[:, 2:3]
+
+    sqd_center = jnp.where(
+        cand_valid, sq_dist_packed(px, py, pz, fields), jnp.inf
+    )
+    corner_d = []
+    for c in range(8):
+        off = jnp.asarray(_CORNER_OFFS[c]) * half
+        sqd_c = sq_dist_packed(px + off[0], py + off[1], pz + off[2], fields)
+        corner_d.append(
+            jnp.sqrt(jnp.where(cand_valid, sqd_c, jnp.inf))
+        )
+    D = jnp.stack(corner_d, axis=1)                  # (C, 8, K)
+    maxmin = jnp.max(jnp.min(D, axis=2), axis=1)     # (C,)
+
+    # Region strength = min corner distance; valid iff any corner beats
+    # maxMinDist (TrianglesInfluence.h:252-256).
+    strength = jnp.min(D, axis=1)                    # (C, K)
+    region_ok = jnp.any(D < maxmin[:, None, None], axis=1) & cand_valid
+    key = jnp.where(region_ok, strength, jnp.inf)
+    order = jnp.argsort(key, axis=1)[:, :R]          # (C, R) local indices
+    oh_r = order[:, :, None] == jnp.arange(K)[None, None, :]  # (C, R, K)
+    radii_r = jnp.einsum(
+        "crk,cgk->crg", oh_r.astype(D.dtype), D
+    )                                                # (C, R, 8)
+    valid_r = jnp.take_along_axis(region_ok, order, axis=1)   # (C, R)
+
+    lower = corner_sphere_hull_tri_lower(
+        jnp.broadcast_to(centers[:, None, None, :], (C, R, K, 3)),
+        half,
+        jnp.broadcast_to(radii_r[:, :, None, :], (C, R, K, 8)),
+        jnp.broadcast_to(tv[:, None], (C, R, K, 3, 3)),
+    )                                                # (C, R, K)
+    not_self = order[:, :, None] != jnp.arange(K)[None, None, :]
+    culled = jnp.any(
+        valid_r[:, :, None] & not_self & (lower > 0.0), axis=1
+    )
+    keep = ~culled & cand_valid
+    return keep, jnp.sum(keep, axis=1), sqd_center
+
+
+_CULL_STRATEGIES = ("lattice", "basic", "precise", "per_vertex")
 
 
 @partial(jax.jit, static_argnames=("C", "strategy"))
@@ -191,13 +323,21 @@ def _cull_group(packed, geo, centers, cand, valid, half, *, C: int, strategy: st
     keeps the per-chunk transients bounded). The previous per-chunk eager
     loop paid 4 dispatch round trips per chunk through the remote
     transport — the dominant share of build wall time (PERF.md §1).
-    `geo` is the triangle AABBs (lattice) or world vertices (basic)."""
+    `geo` is the triangle AABBs (lattice) or world vertices (the GJK
+    strategies). The precise strategy's pair state carries an extra
+    region factor, so its map chunk shrinks accordingly."""
     N = centers.shape[0]
+    if strategy == "precise":
+        C = max(8, C // _PRECISE_MAX_REGIONS)
 
     def one(args):
         cn, ci, cv = args
         if strategy == "lattice":
             return _lattice_cull_chunk(packed, geo, cn, ci, cv, half)
+        if strategy == "precise":
+            return _precise_cull_chunk(packed, geo, cn, ci, cv, half)
+        if strategy == "per_vertex":
+            return _per_vertex_cull_chunk(packed, geo, cn, ci, cv, half)
         return _basic_cull_chunk(packed, geo, cn, ci, cv, half)
 
     k, kc, sq = jax.lax.map(
@@ -732,6 +872,7 @@ def _build_exact(
     futility: float | None = 0.8,
     seed_cells: tuple[int, int] | None = None,
     entry_budget: int = 1 << 26,
+    shared_tables=None,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
     stats).
@@ -740,8 +881,11 @@ def _build_exact(
     per-node scalars (keep counts, terminal masks) and the final leaf lists
     cross the host boundary. The per-node triangle cull is selected by
     ``strategy``: "lattice" (house variant, 27 anchors + exact-distance
-    cap — the tightest) or "basic" (reference BasicTrianglesInfluence
-    corner criterion, TrianglesInfluence.h:119-168).
+    cap — the tightest), "basic" (reference BasicTrianglesInfluence
+    corner criterion, TrianglesInfluence.h:119-168), "precise" (reference
+    PreciseTrianglesInfluence region-hull criterion, :191-284) or
+    "per_vertex" (reference PerVertexTrianglesInfluence<1> nearest-corner
+    hull test, :286-476).
 
     ``futility`` adds a termination rule the reference lacks
     (ExactOctreeSdfDepthFirst.h:299-302 stops only at min-triangles or
@@ -757,9 +901,15 @@ def _build_exact(
         raise ValueError(
             f"strategy must be one of {_CULL_STRATEGIES}, got {strategy!r}"
         )
-    packed = jnp.asarray(pack_triangle_fields(tris))
-    aabbs = _triangle_aabbs(tris)
-    vworld = jnp.asarray(tris.v_world)
+    if shared_tables is not None:
+        # Reuse one uploaded (packed, aabbs, vworld) triple across several
+        # builds over the same mesh (the per-shard tiled build was paying
+        # this pack + upload once PER SHARD).
+        packed, aabbs, vworld = shared_tables
+    else:
+        packed = jnp.asarray(pack_triangle_fields(tris))
+        aabbs = _triangle_aabbs(tris)
+        vworld = jnp.asarray(tris.v_world)
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
 
@@ -790,8 +940,13 @@ def _build_exact(
     )
     cand_valid = jnp.broadcast_to(jnp.arange(Tp) < T, (n0, Tp))
 
-    blocks = [np.zeros(n0, np.uint32)]
-    total_len = n0
+    # The start-grid block must be padded to a multiple of 8 words: the
+    # descent fetches children with one (-1, 8)-row gather assuming every
+    # child octet is 8-aligned. A global grid (s^3 >= 8) is aligned for
+    # free, but a seed_cells shard grid holds only cells-per-chip words.
+    grid_words = -(-n0 // 8) * 8
+    blocks = [np.zeros(grid_words, np.uint32)]
+    total_len = grid_words
     slot_patches: list[tuple[np.ndarray, np.ndarray]] = []
     # (device ids (Lg, w) compacted-to-front, host counts (Lg,)) — the ids
     # stay on device; CSR assembly scatters them into tri_flat there
@@ -876,13 +1031,19 @@ def _build_exact(
         for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
+            # Never pad a small group up to the pair budget: coarse levels
+            # have few nodes, and padding 8 rows to a budget-sized chunk
+            # compiled a 65k-row kernel and ran it 8000x wasted (measured
+            # 33 s per compile for the Frank-Wolfe strategies on CPU).
+            C = min(C, _round_pow2(N, 8))
             # Fixed-size SUPER-chunks: the lax.map length inside
             # _cull_group must be static or every distinct group size
             # compiles a fresh variant (measured as a 30x build blowup in
-            # remote compiles). 16 chunks per dispatch cuts the eager
-            # dispatch count 16x vs the per-chunk loop while keeping the
-            # compile-variant count at one per (C, K) shape.
-            SC = C * 16
+            # remote compiles). Up to 16 chunks per dispatch cuts the
+            # eager dispatch count 16x vs the per-chunk loop; the length
+            # is power-of-2-capped so the compile-variant count stays at a
+            # few per (C, K) shape.
+            SC = C * min(16, _round_pow2(-(-N // C), 1))
             pad = (-N) % SC
             cn, ci, cv = centers_g, cand_g, valid_g
             if pad:

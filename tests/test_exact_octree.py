@@ -111,15 +111,23 @@ def test_exact_torus():
     )
 
 
-@pytest.mark.parametrize("strategy", ["lattice", "basic"])
+@pytest.mark.parametrize(
+    "strategy", ["lattice", "basic", "precise", "per_vertex"]
+)
 def test_strategies_stay_exact(strategy):
     """Exactness must hold under every culling strategy; the torus's
-    equidistant shells are the adversarial case for loose/tight culls."""
-    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    equidistant shells are the adversarial case for loose/tight culls.
+    The GJK-hull strategies (precise/per_vertex) pay a region factor per
+    candidate pair, so they run on a smaller case to keep the suite
+    fast — the criterion is exercised identically."""
+    small = strategy in ("precise", "per_vertex")
+    mesh = make_torus(
+        R=0.3, r=0.12, nu=16 if small else 24, nv=8 if small else 12
+    )
     box = mesh.bounding_box.add_margin(0.14)
     ex = ExactOctreeSdf(
-        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16,
-        strategy=strategy,
+        mesh, box, max_depth=3 if small else 4, start_depth=1,
+        min_triangles_per_node=16, strategy=strategy,
     )
     real = RealSdf(mesh)
     rng = np.random.default_rng(5)
