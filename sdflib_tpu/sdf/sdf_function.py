@@ -25,6 +25,10 @@ class SdfFormat(str, Enum):
     GRID = "grid"
     OCTREE = "octree"
     EXACT_OCTREE = "exact_octree"
+    # TPU additions: tile-sharded structures (no reference counterpart —
+    # the reference is single-node; SURVEY.md S5.7).
+    OCTREE_TILED = "octree_tiled"
+    EXACT_OCTREE_TILED = "exact_octree_tiled"
     NONE = "none"
 
 
@@ -86,4 +90,12 @@ class SdfFunction(abc.ABC):
             from .exact_octree import ExactOctreeSdf
 
             return ExactOctreeSdf._from_state_arrays(state)
+        if fmt == SdfFormat.EXACT_OCTREE_TILED:
+            from ..parallel.tiles import TiledExactOctreeSdf
+
+            return TiledExactOctreeSdf._from_state_arrays(state)
+        if fmt == SdfFormat.OCTREE_TILED:
+            from ..parallel.tiles import TiledOctreeSdf
+
+            return TiledOctreeSdf._from_state_arrays(state)
         raise ValueError(f"Cannot load SDF with format {fmt}")
