@@ -376,6 +376,7 @@ def build_octree(
         _emit_leaves(terminal, coeffs, corner_vals, centers, half, depth, node_slots)
 
         # ---- subdivide the rest --------------------------------------------
+        t_epi = _time.perf_counter()
         sub = np.nonzero(~terminal)[0]
         if len(sub) == 0:
             break
@@ -408,10 +409,20 @@ def build_octree(
         new_slots = (child_base[:, None] + np.arange(8)[None]).reshape(-1)
 
         # Children candidate lists = parent's culled list, compacted.
+        # Counting compaction (O(M*K)) instead of a stable argsort
+        # (O(M*K log K)) — the sort was the dominant term of the host
+        # epilogue PERF.md §4 attributes (~5 s at 9k tris, depth 6).
         K_next = max(1, int(kcounts[sub].max(initial=1)))
-        order = np.argsort(~keeps[sub], axis=1, kind="stable")[:, :K_next]
-        new_cand = np.take_along_axis(cand_idx[sub], order, axis=1)
-        new_valid = np.take_along_axis(keeps[sub], order, axis=1)
+        kp = keeps[sub]
+        dest = np.cumsum(kp, axis=1) - 1          # kept -> front, in order
+        dest[~kp] = K_next                        # dropped -> spill column
+        rows = np.arange(M)[:, None]
+        new_cand = np.zeros((M, K_next + 1), cand_idx.dtype)
+        new_cand[rows, dest] = cand_idx[sub]
+        new_valid = np.zeros((M, K_next + 1), bool)
+        new_valid[rows, dest] = kp
+        new_cand = new_cand[:, :K_next]
+        new_valid = new_valid[:, :K_next]
 
         centers = new_centers
         corner_vals = new_corner_vals.astype(np.float32)
@@ -420,6 +431,10 @@ def build_octree(
         cand_valid = np.repeat(new_valid, 8, axis=0)
         half = 0.5 * half
         depth += 1
+        stats["level_host_epilogue_s"] = (
+            stats.get("level_host_epilogue_s", 0.0)
+            + (_time.perf_counter() - t_epi)
+        )
 
     # ---- assemble the flat array -------------------------------------------
     # Trailing pad to a whole number of 64-word rows (query-side reshapes).
