@@ -40,10 +40,37 @@ from .triangle import TriangleDataSoA, calculate_mesh_triangle_data
 
 __version__ = "0.1.0"
 
+# The SDF structures re-export lazily: the reference exposes everything
+# under one `sdflib::` namespace (include/SdfLib/*.h), so users expect
+# `sdflib_tpu.ExactOctreeSdf` etc., but importing them eagerly would pull
+# the full builder/render stack into every `import sdflib_tpu`.
+_LAZY = {
+    "SdfFunction": ("sdf.sdf_function", "SdfFunction"),
+    "SdfFormat": ("sdf.sdf_function", "SdfFormat"),
+    "OctreeSdf": ("sdf.octree", "OctreeSdf"),
+    "ExactOctreeSdf": ("sdf.exact_octree", "ExactOctreeSdf"),
+    "UniformGridSdf": ("sdf.grid", "UniformGridSdf"),
+    "RealSdf": ("sdf.real", "RealSdf"),
+}
+
+
+def __getattr__(name):
+    entry = _LAZY.get(name)
+    if entry is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    mod = importlib.import_module(f".{entry[0]}", __name__)
+    value = getattr(mod, entry[1])
+    globals()[name] = value
+    return value
+
+
 __all__ = [
     "BoundingBox",
     "Mesh",
     "load_mesh",
     "TriangleDataSoA",
     "calculate_mesh_triangle_data",
+    *_LAZY,
 ]

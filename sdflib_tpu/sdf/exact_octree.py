@@ -43,6 +43,7 @@ from ..ops.point_triangle import (
     sq_dist_from_vertex_cols,
     sq_dist_packed,
 )
+from ..ops.pallas_scan import exact_scan_grouped_pallas
 from .octree import _build_leaf_grid, _select8
 from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
 from .sdf_function import SdfFormat, SdfFunction
@@ -389,6 +390,10 @@ def _compact_leaf_rows(sqd_center, idx_rows, keep_rows):
 # element gathers (~100x slower).
 _LEAF_CHUNK = 64
 
+# Slab height (rows) of the Pallas grouped scan's VMEM streaming window;
+# bucket tables are row-padded to a multiple of this at build time.
+_PALLAS_SLAB = 256
+
 
 @partial(jax.jit, static_argnames=("levels",))
 def _exact_descent(
@@ -618,7 +623,7 @@ def _exact_scan_grouped(
     static_argnames=(
         "use_grid", "grid_depth", "levels", "start_grid_size",
         "G", "NG", "NB", "max_chunks", "early_exit", "with_gradient",
-        "prologue",
+        "prologue", "scan_impl", "pallas_interpret",
     ),
 )
 def _exact_query_fused(
@@ -646,6 +651,8 @@ def _exact_query_fused(
     early_exit: bool,
     with_gradient: bool,
     prologue: int = 0,
+    scan_impl: str = "xla",
+    pallas_interpret: bool = False,
 ):
     """The ENTIRE exact query as ONE compiled program: descent -> leaf
     sort -> group assignment/scatter -> length-ordered block scans
@@ -690,26 +697,39 @@ def _exact_query_fused(
     # permutes than its iteration uniformity saved once the scan loop
     # got its fixed-trip prologue.)
 
-    # -- block scans (one compiled body, sequential over blocks) ------------
-    def blk(args):
-        bp, bv, bl = args
-        return _exact_scan_grouped(
-            leaf_offset, leaf_count, leaf_centers,
-            bucket_ids, bucket_fields, bucket_cmin,
-            bp, bv, bl,
-            max_chunks=max_chunks, early_exit=early_exit,
-            prologue=prologue,
+    # -- block scans ---------------------------------------------------------
+    if scan_impl == "pallas":
+        # One Pallas program over all groups: each grid step slab-streams
+        # its block's contiguous bucket-row span through VMEM
+        # (ops/pallas_scan.py). Requires vertex-format buckets.
+        wins = exact_scan_grouped_pallas(
+            bucket_ids, bucket_fields, gpts, gleaf,
+            leaf_offset, leaf_count,
+            GB=min(256, NG), H=_PALLAS_SLAB,
+            interpret=pallas_interpret,
         )
+        iters = jnp.int32(0)
+    else:
+        # one compiled body, sequential over blocks
+        def blk(args):
+            bp, bv, bl = args
+            return _exact_scan_grouped(
+                leaf_offset, leaf_count, leaf_centers,
+                bucket_ids, bucket_fields, bucket_cmin,
+                bp, bv, bl,
+                max_chunks=max_chunks, early_exit=early_exit,
+                prologue=prologue,
+            )
 
-    nblocks = NG // NB
-    wins, iters = jax.lax.map(
-        blk,
-        (
-            gpts.reshape(nblocks, NB, G, 3),
-            gvalid.reshape(nblocks, NB, G),
-            gleaf.reshape(nblocks, NB),
-        ),
-    )
+        nblocks = NG // NB
+        wins, iters = jax.lax.map(
+            blk,
+            (
+                gpts.reshape(nblocks, NB, G, 3),
+                gvalid.reshape(nblocks, NB, G),
+                gleaf.reshape(nblocks, NB),
+            ),
+        )
 
     # -- finish in SORTED space, one scatter back ----------------------------
     win_s = wins.reshape(-1)[slot]              # winner per sorted point
@@ -1309,6 +1329,21 @@ def make_bucket_tables(
         sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
         parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
     bucket_cmin = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    # Row-pad to a multiple of the Pallas scan's slab height so its
+    # fixed-size H-row DMAs stay in bounds (ops/pallas_scan.py). Padding
+    # HERE costs one build-time copy; padding inside the query would copy
+    # the multi-GB tables every call. The XLA scan never reads the pad
+    # rows live (gate masks beyond-count chunks; ids are -1 anyway).
+    NBp = -(-ids.shape[0] // _PALLAS_SLAB) * _PALLAS_SLAB
+    if NBp != ids.shape[0]:
+        extra = NBp - ids.shape[0]
+        ids = jnp.pad(ids, [(0, extra), (0, 0)], constant_values=-1)
+        if bucket_fields is not None:
+            bucket_fields = jnp.pad(bucket_fields, [(0, extra), (0, 0)])
+        bucket_cmin = jnp.pad(
+            bucket_cmin, (0, extra), constant_values=jnp.inf
+        )
     return ids, bucket_fields, bucket_cmin
 
 
@@ -1362,6 +1397,7 @@ class ExactOctreeSdf(SdfFunction):
         self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
         self.scan_chunk = _LEAF_CHUNK
+        self.scan_impl = "xla"
         self._group_width_cache = {}
         self._make_buckets()
         self._leaf_grid = None
@@ -1408,6 +1444,24 @@ class ExactOctreeSdf(SdfFunction):
     # Auto-build the dense leaf-id grid up to this depth (4 B/finest cell:
     # depth 7 -> 8 MB). Deeper structures can opt in via build_query_grid().
     _AUTO_GRID_DEPTH = 7
+
+    def set_scan_impl(self, impl: str) -> None:
+        """Select the grouped-scan backend: "xla" (lax.map over blocks,
+        early-exit while loop) or "pallas" (slab-streaming VMEM kernel,
+        ops/pallas_scan.py). "pallas" requires vertex-format buckets
+        (the auto default) and runs in interpret mode off-TPU."""
+        if impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown scan impl {impl!r}")
+        if impl == "pallas":
+            CH = self.scan_chunk
+            if (
+                self.bucket_fields is None
+                or self.bucket_fields.shape[1] != 9 * CH
+            ):
+                raise ValueError(
+                    "pallas scan requires vertex-format dense buckets"
+                )
+        self.scan_impl = impl
 
     def set_scan_chunk(self, chunk: int) -> None:
         """Rebuild the bucket tables with a different scan chunk width.
@@ -1516,6 +1570,8 @@ class ExactOctreeSdf(SdfFunction):
                 early_exit=self._sorted_lists,
                 with_gradient=with_gradient,
                 prologue=self._scan_prologue if self._sorted_lists else 0,
+                scan_impl=getattr(self, "scan_impl", "xla"),
+                pallas_interpret=jax.default_backend() != "tpu",
             )
             # diagnostics for roofline accounting (device array, unsynced)
             self._last_scan_stats = {
