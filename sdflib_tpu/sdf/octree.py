@@ -373,6 +373,12 @@ class OctreeSdf(SdfFunction):
     "no_continuity" (per-node termination, the default reference path), or
     "continuity" (C0 across leaf faces — see octree_builder_continuity).
 
+    strategy: the per-level candidate cull — "distance" (free center-
+    distance rule) or an influence strategy ("lattice"/"basic"/"precise"/
+    "per_vertex", the reference TrianglesInfluence.h family). All are safe
+    supersets, so the structure's VALUES are unchanged; tighter strategies
+    trade cull flops for smaller per-level candidate matrices.
+
     ``build_query_grid()`` enables O(1)-descent queries through a dense
     leaf-id grid (8 bytes per finest-resolution cell).
     """
@@ -388,6 +394,7 @@ class OctreeSdf(SdfFunction):
         error_decay: float = 0.0,
         init_algorithm: str = "no_continuity",
         interpolation: str = "tricubic",
+        strategy: str = "distance",
         _state: dict | None = None,
     ):
         if _state is not None:
@@ -426,6 +433,7 @@ class OctreeSdf(SdfFunction):
                 termination_threshold=termination_threshold,
                 error_decay=error_decay,
                 interpolation=interpolation,
+                strategy=strategy,
             )
         else:
             result = build_octree(  # uniform / no_continuity
@@ -438,6 +446,7 @@ class OctreeSdf(SdfFunction):
                 termination_threshold=termination_threshold,
                 error_decay=error_decay,
                 interpolation=interpolation,
+                strategy=strategy,
             )
         self._init_from_result(result)
 

@@ -125,7 +125,7 @@ def _error(coeffs, mid_f, rule, decay, interpolation):
     return jnp.full(coeffs.shape[:-1], jnp.inf, coeffs.dtype)
 
 
-@partial(jax.jit, static_argnames=("rule", "interpolation"))
+@partial(jax.jit, static_argnames=("rule", "interpolation", "strategy"))
 def _level_chunk(
     tris: TriangleDataSoA,
     centers,        # (C, 3)
@@ -134,9 +134,12 @@ def _level_chunk(
     cand_valid,     # (C, K) bool
     half,           # scalar: node half edge
     decay,          # by-distance decay parameter
+    packed=None,    # (T, 19) packed fields (influence strategies only)
+    geo=None,       # (T, 6) AABBs / (T, 3, 3) vertices (strategies only)
     *,
     rule: str,
     interpolation: str,
+    strategy: str = "distance",
 ):
     """One chunk of one level: midpoint sampling + fit + error + culling."""
     # Gather candidate triangle SoA rows: (C, K, ...)
@@ -160,12 +163,27 @@ def _level_chunk(
     zeros = jnp.zeros(d.shape + (4,), d.dtype)
     mid_vals = jnp.concatenate([d[..., None], g, zeros], axis=-1)  # (C,19,8)
 
-    # Conservative culling for children: keep t iff
-    # d(t, center) <= min_t d(t, center) + full-diagonal.
-    dc = jnp.sqrt(sqd[:, 9, :])  # midpoint 9 is the node center
-    minc = jnp.min(dc, axis=1, keepdims=True)
-    diag = 2.0 * jnp.sqrt(jnp.asarray(3.0, dc.dtype)) * half
-    keep = (dc <= minc + diag) & cand_valid
+    # Conservative culling for children. The default ("distance") rule —
+    # keep t iff d(t, center) <= min_t d(t, center) + full-diagonal — costs
+    # nothing extra (the center distances fall out of the midpoint pass);
+    # the named influence strategies reuse the exact builder's safe-superset
+    # culls (TrianglesInfluence.h role) for tighter lists at more flops.
+    if strategy == "distance":
+        dc = jnp.sqrt(sqd[:, 9, :])  # midpoint 9 is the node center
+        minc = jnp.min(dc, axis=1, keepdims=True)
+        diag = 2.0 * jnp.sqrt(jnp.asarray(3.0, dc.dtype)) * half
+        keep = (dc <= minc + diag) & cand_valid
+    else:
+        # late import: exact_octree imports this module at load time
+        from . import exact_octree as _ex
+
+        cull = {
+            "lattice": _ex._lattice_cull_chunk,
+            "basic": _ex._basic_cull_chunk,
+            "precise": _ex._precise_cull_chunk,
+            "per_vertex": _ex._per_vertex_cull_chunk,
+        }[strategy]
+        keep, _, _ = cull(packed, geo, centers, cand_idx, cand_valid, half)
     keep_count = jnp.sum(keep, axis=1)
 
     coeffs = _fit(corner_vals, 2.0 * half, interpolation)
@@ -196,12 +214,29 @@ def build_octree(
     error_decay: float = 0.0,
     interpolation: str = "tricubic",
     pair_budget: int = 1 << 21,
+    strategy: str = "distance",
 ) -> OctreeBuildResult:
     """Build the approximate octree. ``box`` must already be cubified.
+
+    ``strategy`` selects the child-list cull: "distance" (free center-
+    distance rule) or any exact-builder influence strategy
+    ("lattice"/"basic"/"precise"/"per_vertex") for tighter lists — all
+    safe supersets, so the emitted structure's VALUES are identical.
 
     Returns the flat u32 array in the reference layout plus leaf metadata.
     """
     tris_dev = jax.tree.map(jnp.asarray, tris)
+    packed_s = geo_s = None
+    if strategy != "distance":
+        from ..ops.point_triangle import pack_triangle_fields
+        from .exact_octree import _triangle_aabbs
+
+        packed_s = pack_triangle_fields(tris_dev)
+        geo_s = (
+            _triangle_aabbs(tris_dev)
+            if strategy == "lattice"
+            else jnp.asarray(tris_dev.v_world)
+        )
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
     box_size = np.float32(box_size)
@@ -326,6 +361,9 @@ def build_octree(
         # ---- chunked level kernel ------------------------------------------
         Kp = _round_pow2(K, 8)
         C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
+        if strategy == "precise":
+            # the precise cull's pair state carries an extra region factor
+            C = max(1, C // 16)
         Np = -(-N // C) * C
         pad = Np - N
 
@@ -355,8 +393,11 @@ def build_octree(
                 jnp.asarray(va_p[sl]),
                 jnp.float32(half),
                 jnp.float32(error_decay),
+                packed_s,
+                geo_s,
                 rule=termination_rule,
                 interpolation=interpolation,
+                strategy=strategy,
             )
             stats["level_enqueue_s"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()

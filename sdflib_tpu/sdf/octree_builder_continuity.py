@@ -190,9 +190,23 @@ def build_octree_continuity(
     error_decay: float = 0.0,
     interpolation: str = "tricubic",
     pair_budget: int = 1 << 21,
+    strategy: str = "distance",
 ) -> OctreeBuildResult:
-    """Build the approximate octree with C0 continuity correction."""
+    """Build the approximate octree with C0 continuity correction.
+
+    ``strategy`` selects the child-list cull (see build_octree)."""
     tris_dev = jax.tree.map(jnp.asarray, tris)
+    packed_s = geo_s = None
+    if strategy != "distance":
+        from ..ops.point_triangle import pack_triangle_fields
+        from .exact_octree import _triangle_aabbs
+
+        packed_s = pack_triangle_fields(tris_dev)
+        geo_s = (
+            _triangle_aabbs(tris_dev)
+            if strategy == "lattice"
+            else jnp.asarray(tris_dev.v_world)
+        )
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
     box_size = np.float32(box_size)
@@ -294,6 +308,8 @@ def build_octree_continuity(
         N, K = cand_idx.shape
         Kp = _round_pow2(K, 8)
         C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
+        if strategy == "precise":
+            C = max(1, C // 16)  # extra region factor in the pair state
         Np = -(-N // C) * C
         pad = Np - N
 
@@ -322,8 +338,11 @@ def build_octree_continuity(
                 jnp.asarray(va_p[sl]),
                 jnp.float32(half),
                 jnp.float32(error_decay),
+                packed_s,
+                geo_s,
                 rule=rule,
                 interpolation=interpolation,
+                strategy=strategy,
             )
             mids[sl], coeffs[sl], errs[sl] = map(np.asarray, (m, c, e))
             keeps[sl], kcounts[sl] = np.asarray(k), np.asarray(kc)

@@ -33,12 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Error decay for by_distance_rule")
     p.add_argument("--min_triangles_per_node", type=int, default=32,
                    help="Exact octree leaf size (CLI default 32)")
-    p.add_argument("--strategy", default="lattice",
-                   choices=["lattice", "basic", "precise", "per_vertex"],
-                   help="Exact-octree triangle influence strategy "
-                        "(lattice is the house default; basic/precise/"
-                        "per_vertex mirror the reference's "
-                        "TrianglesInfluence variants)")
+    p.add_argument("--strategy", default=None,
+                   choices=["lattice", "basic", "precise", "per_vertex",
+                            "distance"],
+                   help="Triangle influence strategy (reference "
+                        "TrianglesInfluence variants). Defaults: exact "
+                        "octrees use 'lattice'; approximate octrees use "
+                        "the free 'distance' center rule ('distance' is "
+                        "approx-only).")
     p.add_argument("--futility", type=float, default=0.8,
                    help="Exact-octree futility termination ratio: a node "
                         "whose culled list keeps >= this fraction of its "
@@ -90,7 +92,7 @@ def main(argv=None) -> int:
             mesh, box, max_depth=depth,
             start_depth=args.start_depth if args.start_depth is not None else 2,
             min_triangles_per_node=args.min_triangles_per_node,
-            strategy=args.strategy,
+            strategy=args.strategy or "lattice",
             futility=args.futility if args.futility >= 0 else None,
         )
     else:
@@ -103,6 +105,7 @@ def main(argv=None) -> int:
             error_decay=args.termination_threshold_by_distance,
             init_algorithm=args.algorithm,
             interpolation=args.interpolation,
+            strategy=args.strategy or "distance",
         )
     build_s = time.perf_counter() - t0
     print(f"Build time: {build_s:.3f}s")

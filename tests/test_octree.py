@@ -205,3 +205,34 @@ def test_query_grid_matches_descent(sphere_octree):
     np.testing.assert_allclose(d_grid, d_descent, atol=1e-6)
     np.testing.assert_allclose(np.asarray(dg), np.asarray(dd), atol=1e-6)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gd), atol=1e-4)
+
+
+@pytest.mark.parametrize("strategy", ["lattice", "basic"])
+def test_octree_strategy_cull_same_structure(sphere_mesh, strategy):
+    """Influence-strategy culls (safe supersets) must produce the same
+    tree shape and the same field values to sampling accuracy — every
+    cull retains each sample point's nearest triangle, so only argmin
+    TIES (equidistant winners at the icosphere's symmetry points, whose
+    gradients differ) can perturb the fit — while keeping fewer
+    triangles per node."""
+    box = sphere_mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=1, termination_threshold=1e-3,
+              init_algorithm="no_continuity")
+    base = OctreeSdf(sphere_mesh, box, **kw)
+    alt = OctreeSdf(sphere_mesh, box, strategy=strategy, **kw)
+    assert alt.octree_data.shape == base.octree_data.shape
+    assert alt.build_stats["leaves_per_depth"] == (
+        base.build_stats["leaves_per_depth"]
+    )
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(box.min, box.max, (4096, 3)).astype(np.float32)
+    d_a = np.asarray(alt.get_distance(pts))
+    d_b = np.asarray(base.get_distance(pts))
+    # below the 1e-3 termination threshold: tie-induced drift only
+    np.testing.assert_allclose(d_a, d_b, atol=2e-4)
+
+    tb = base.build_stats["tris_per_node"]
+    ta = alt.build_stats["tris_per_node"]
+    assert all(ta[d] <= tb[d] + 1e-9 for d in tb), (ta, tb)
+    # the tightest level should actually be tighter, not just equal
+    assert min(ta[d] / max(tb[d], 1e-9) for d in tb) < 0.9, (ta, tb)
