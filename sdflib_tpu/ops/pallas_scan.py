@@ -56,11 +56,11 @@ def _scan_kernel(
     fld_hbm,       # (NBp, 9*CH) f32
     # output
     win_ref,       # (GB, G) int32
-    # scratch
-    ids_vmem,      # (H, CH) int32
-    fld_vmem,      # (H, 9*CH) f32
+    # scratch (double-buffered slabs)
+    ids_a, ids_b,  # (H, CH) int32
+    fld_a, fld_b,  # (H, 9*CH) f32
     best_ref,      # (GB, G) f32
-    sem,           # 2 DMA semaphores
+    sem,           # (2, 2) DMA semaphores [buffer][ids/fld]
     *,
     H: int,
     GB: int,
@@ -70,28 +70,39 @@ def _scan_kernel(
     row0 = row0_ref[b]
     nrow = nrow_ref[b]
     nslab = pl.cdiv(nrow, H)
+    bufs = ((ids_a, fld_a), (ids_b, fld_b))
 
     best_ref[:] = jnp.full_like(best_ref, jnp.inf)
     win_ref[:] = jnp.zeros_like(win_ref)
 
-    def slab_body(s, _):
-        lo = row0 + s * H
+    def _base(s):
         # The physical fetch base is clamped so the fixed-size H-row DMA
         # never runs past the table (rows are padded to a multiple of H by
         # the bucket build, so NBp - H >= 0); group chunk bounds stay in
         # LOGICAL row coordinates and always land inside the clamped
         # window because every span ends at or before NBp.
-        lo_c = jnp.minimum(lo, jnp.int32(ids_hbm.shape[0] - H))
-        fld_dma = pltpu.make_async_copy(
-            fld_hbm.at[pl.ds(lo_c, H)], fld_vmem, sem.at[0]
+        lo = row0 + s * H
+        return lo, jnp.minimum(lo, jnp.int32(ids_hbm.shape[0] - H))
+
+    def _dmas(s, k):
+        lo_c = _base(s)[1]
+        ids_v, fld_v = bufs[k]
+        return (
+            pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(lo_c, H)], ids_v, sem.at[k, 0]
+            ),
+            pltpu.make_async_copy(
+                fld_hbm.at[pl.ds(lo_c, H)], fld_v, sem.at[k, 1]
+            ),
         )
-        ids_dma = pltpu.make_async_copy(
-            ids_hbm.at[pl.ds(lo_c, H)], ids_vmem, sem.at[1]
-        )
-        fld_dma.start()
-        ids_dma.start()
-        fld_dma.wait()
-        ids_dma.wait()
+
+    @pl.when(nslab > 0)
+    def _():
+        for d in _dmas(0, 0):
+            d.start()
+
+    def _process(s, ids_vmem, fld_vmem):
+        lo, lo_c = _base(s)
         hi = lo + H
 
         def group_body(g, _):
@@ -137,6 +148,22 @@ def _scan_kernel(
             return 0
 
         jax.lax.fori_loop(0, GB, group_body, 0)
+
+    def slab_body(s, _):
+        parity = jax.lax.rem(s, 2)
+        # start the NEXT slab's fetch before waiting on this one: the
+        # ping-pong buffer hides the DMA behind this slab's group scans
+        for k in (0, 1):
+            @pl.when((parity == k) & (s + 1 < nslab))
+            def _():
+                for d in _dmas(s + 1, 1 - k):
+                    d.start()
+
+            @pl.when(parity == k)
+            def _():
+                for d in _dmas(s, k):
+                    d.wait()
+                _process(s, *bufs[k])
         return 0
 
     jax.lax.fori_loop(0, nslab, slab_body, 0)
@@ -210,9 +237,11 @@ def exact_scan_grouped_pallas(
         out_specs=pl.BlockSpec((GB, G), lambda b, *_: (b, 0)),
         scratch_shapes=[
             pltpu.VMEM((H, CH), jnp.int32),
+            pltpu.VMEM((H, CH), jnp.int32),
+            pltpu.VMEM((H, nf * CH), jnp.float32),
             pltpu.VMEM((H, nf * CH), jnp.float32),
             pltpu.VMEM((GB, G), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = partial(_scan_kernel, H=H, GB=GB, CH=CH)
