@@ -1,0 +1,75 @@
+"""A/B the exact-query scan backends on the real TPU.
+
+Builds the bench torus exact octree, then times the fused query at 2M
+points under the XLA grouped scan and the Pallas slab-streaming scan
+(ops/pallas_scan.py), printing one JSON line per configuration. Timing
+fences are scalar readbacks (block_until_ready does not wait through the
+axon tunnel, CLAUDE.md).
+
+Usage: python scripts/scan_ab_bench.py [n_points_log2=21]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.utils.primitives import make_torus
+
+    n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
+    mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
+    box = mesh.bounding_box.add_margin(0.14)
+    t0 = time.perf_counter()
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
+    )
+    print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(0)
+    lo = np.asarray(ex.box.min) + 1e-4
+    hi = np.asarray(ex.box.max) - 1e-4
+    pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+
+    results = {}
+    for impl in ("xla", "pallas"):
+        try:
+            ex.set_scan_impl(impl)
+            d = ex.get_distance(pts)
+            cks = float(jnp.sum(d))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                d = ex.get_distance(pts)
+                float(jnp.sum(d))
+                ts.append(time.perf_counter() - t0)
+            best = min(ts)
+            results[impl] = {"qps": n / best, "checksum": cks, "ms": best * 1e3}
+            print(json.dumps({
+                "impl": impl, "qps": n / best, "best_ms": best * 1e3,
+                "all_ms": [round(t * 1e3, 1) for t in ts],
+                "checksum": cks, "stats": {
+                    k: v for k, v in ex._last_scan_stats.items()
+                    if isinstance(v, (int, float))
+                },
+            }), flush=True)
+        except Exception as e:  # keep the A side if B dies
+            print(json.dumps({"impl": impl, "error": repr(e)}), flush=True)
+
+    if len(results) == 2:
+        a, b = results["xla"], results["pallas"]
+        agree = abs(a["checksum"] - b["checksum"]) <= 1e-3 * max(
+            1.0, abs(a["checksum"])
+        )
+        print(json.dumps({
+            "speedup_pallas_vs_xla": b["qps"] / a["qps"],
+            "checksums_agree": bool(agree),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
