@@ -121,7 +121,7 @@ def main():
         def blk(args):
             bp, bv, bl = args
             return eo._exact_scan_grouped(
-                ex.leaf_offset, ex.leaf_count, ex.leaf_centers,
+                ex.bucket_row0, ex.leaf_count, ex.leaf_centers,
                 ex.bucket_ids, ex.bucket_fields, ex.bucket_cmin,
                 bp, bv, bl,
                 max_chunks=max_chunks, early_exit=True,
@@ -155,7 +155,7 @@ def main():
         def blk(args):
             bp, bv, bl = args
             return eo._exact_scan_grouped(
-                ex.leaf_offset, ex.leaf_count, ex.leaf_centers,
+                ex.bucket_row0, ex.leaf_count, ex.leaf_centers,
                 ex.bucket_ids, ex.bucket_fields, ex.bucket_cmin,
                 bp, bv, bl,
                 max_chunks=max_chunks, early_exit=True,

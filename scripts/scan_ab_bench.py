@@ -36,39 +36,50 @@ def main():
     pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
 
     results = {}
-    for impl in ("xla", "pallas"):
+    for chunk in (64, 128):
         try:
-            ex.set_scan_impl(impl)
-            d = ex.get_distance(pts)
-            cks = float(jnp.sum(d))
-            ts = []
-            for _ in range(5):
-                t0 = time.perf_counter()
+            ex.set_scan_chunk(chunk)
+        except ValueError as e:
+            print(json.dumps({"chunk": chunk, "error": repr(e)}), flush=True)
+            continue
+        for impl in ("xla", "pallas"):
+            key = f"{impl}-{chunk}"
+            try:
+                ex.set_scan_impl(impl)
                 d = ex.get_distance(pts)
-                float(jnp.sum(d))
-                ts.append(time.perf_counter() - t0)
-            best = min(ts)
-            results[impl] = {"qps": n / best, "checksum": cks, "ms": best * 1e3}
-            print(json.dumps({
-                "impl": impl, "qps": n / best, "best_ms": best * 1e3,
-                "all_ms": [round(t * 1e3, 1) for t in ts],
-                "checksum": cks, "stats": {
-                    k: v for k, v in ex._last_scan_stats.items()
-                    if isinstance(v, (int, float))
-                },
-            }), flush=True)
-        except Exception as e:  # keep the A side if B dies
-            print(json.dumps({"impl": impl, "error": repr(e)}), flush=True)
+                cks = float(jnp.sum(d))
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    d = ex.get_distance(pts)
+                    float(jnp.sum(d))
+                    ts.append(time.perf_counter() - t0)
+                best = min(ts)
+                results[key] = {"qps": n / best, "checksum": cks}
+                print(json.dumps({
+                    "impl": key, "qps": n / best, "best_ms": best * 1e3,
+                    "all_ms": [round(t * 1e3, 1) for t in ts],
+                    "checksum": cks, "stats": {
+                        k: v for k, v in ex._last_scan_stats.items()
+                        if isinstance(v, (int, float))
+                    },
+                }), flush=True)
+            except Exception as e:  # keep the other configs if one dies
+                print(json.dumps({"impl": key, "error": repr(e)}), flush=True)
 
-    if len(results) == 2:
-        a, b = results["xla"], results["pallas"]
-        agree = abs(a["checksum"] - b["checksum"]) <= 1e-3 * max(
-            1.0, abs(a["checksum"])
-        )
-        print(json.dumps({
-            "speedup_pallas_vs_xla": b["qps"] / a["qps"],
-            "checksums_agree": bool(agree),
-        }), flush=True)
+    if "xla-64" in results:
+        base = results["xla-64"]
+        summary = {
+            k: {
+                "speedup_vs_xla64": v["qps"] / base["qps"],
+                "checksum_agrees": bool(
+                    abs(v["checksum"] - base["checksum"])
+                    <= 1e-3 * max(1.0, abs(base["checksum"]))
+                ),
+            }
+            for k, v in results.items() if k != "xla-64"
+        }
+        print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

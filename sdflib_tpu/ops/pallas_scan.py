@@ -178,7 +178,7 @@ def exact_scan_grouped_pallas(
     bucket_fields, # (NB, 9*CH) f32 vertex-format rows
     gpts,          # (NG, G, 3) grouped points (one leaf per group)
     gleaf,         # (NG,) leaf id per group
-    leaf_offset,   # (L,)
+    bucket_row0,   # (L,) first bucket ROW of each leaf
     leaf_count,    # (L,)
     *,
     GB: int = 256,
@@ -204,7 +204,7 @@ def exact_scan_grouped_pallas(
     assert bucket_ids.shape[0] % H == 0, "bucket rows must be H-padded"
     NBLK = NG // GB
 
-    bucket0 = (leaf_offset[gleaf] // CH).astype(jnp.int32)
+    bucket0 = bucket_row0[gleaf].astype(jnp.int32)
     nchunk = -(-leaf_count[gleaf] // CH)
     # gleaf of empty padding groups is 0 (leaf 0's rows): harmless reads,
     # masked winners; keep their spans zero so block row ranges stay tight.

@@ -135,7 +135,9 @@ class TiledExactOctreeSdf(SdfFunction):
                             (k + 1) * self.cells_per_chip),
                 shared_tables=shared,
             )
-            ids, fields, cmin = make_bucket_tables(
+            # default 64-chunk tables: bucket_row0 == leaf_offset // 64,
+            # which the shard query derives from its padded leaf_offset
+            ids, fields, cmin, _row0 = make_bucket_tables(
                 tflat, lcnt, lcen, self.packed_fields,
                 self.triangles.v_world,
             )

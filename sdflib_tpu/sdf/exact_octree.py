@@ -503,7 +503,7 @@ def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
 
 
 def _exact_scan_grouped(
-    leaf_offset,       # (L,) int32 into tri_flat, _LEAF_CHUNK-aligned
+    bucket_row0,       # (L,) int32 first bucket ROW of each leaf
     leaf_count,        # (L,) int32
     leaf_centers,      # (L, 3) leaf box centers
     bucket_ids,        # (NB, CH) int32 triangle ids, -1 padded
@@ -537,7 +537,7 @@ def _exact_scan_grouped(
     (no valid lanes), the entire scan is skipped via lax.cond."""
     NG, G, _ = gpts.shape
     CH = bucket_ids.shape[1]
-    bucket0 = leaf_offset[gleaf] // CH               # (NG,)
+    bucket0 = bucket_row0[gleaf]                     # (NG,)
     cnt = leaf_count[gleaf]
     num_buckets = bucket_ids.shape[0]
 
@@ -629,7 +629,7 @@ def _exact_scan_grouped(
 def _exact_query_fused(
     octree_u32,
     leaf_grid_i32,     # dense cell->leaf grid (dummy when use_grid=False)
-    leaf_offset,
+    bucket_row0,
     leaf_count,
     leaf_centers,
     bucket_ids,
@@ -704,7 +704,7 @@ def _exact_query_fused(
         # (ops/pallas_scan.py). Requires vertex-format buckets.
         wins = exact_scan_grouped_pallas(
             bucket_ids, bucket_fields, gpts, gleaf,
-            leaf_offset, leaf_count,
+            bucket_row0, leaf_count,
             GB=min(256, NG), H=_PALLAS_SLAB,
             interpret=pallas_interpret,
         )
@@ -714,7 +714,7 @@ def _exact_query_fused(
         def blk(args):
             bp, bv, bl = args
             return _exact_scan_grouped(
-                leaf_offset, leaf_count, leaf_centers,
+                bucket_row0, leaf_count, leaf_centers,
                 bucket_ids, bucket_fields, bucket_cmin,
                 bp, bv, bl,
                 max_chunks=max_chunks, early_exit=early_exit,
@@ -1262,9 +1262,43 @@ def make_bucket_tables(
          naive 3-vertex formula (TriangleUtils.h:383-401) — the winner is
          re-evaluated with the frame kernel, so final distances agree to
          fp rounding;
-      3. None: id-only buckets, per-field element-gather fallback."""
+      3. None: id-only buckets, per-field element-gather fallback.
+
+    ``chunk`` may divide the build-time span alignment (64) — bucket rows
+    are then a reshape of tri_flat — or be a multiple of it (128/256):
+    the CSR is REPACKED into wider chunk-aligned spans so each (G, CH)
+    scan eval fills whole 128-lane vregs instead of half-masked ones, at
+    the price of more -1 padding slots for short lists. Returns
+    (ids, fields, cmin, bucket_row0) where bucket_row0[l] is leaf l's
+    first bucket ROW (the query must not assume leaf_offset // CH)."""
     CH = chunk
-    ids = jnp.asarray(tri_flat).reshape(-1, CH)
+    cnts = np.asarray(leaf_count)
+    L = len(cnts)
+    if CH <= _LEAF_CHUNK:
+        assert _LEAF_CHUNK % CH == 0
+        ids = jnp.asarray(tri_flat).reshape(-1, CH)
+        # tri_flat spans are padded to _LEAF_CHUNK at build time; a leaf
+        # owns its padded span's worth of CH-wide buckets.
+        spans = (
+            (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH)
+        ).astype(np.int64)
+    else:
+        assert CH % _LEAF_CHUNK == 0
+        tf = np.asarray(tri_flat)
+        spans = (-(-np.maximum(cnts, 1) // CH)).astype(np.int64)
+        spans64 = (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)).astype(np.int64)
+        off64 = np.concatenate([[0], np.cumsum(spans64)[:-1]]) * _LEAF_CHUNK
+        row0w = np.concatenate([[0], np.cumsum(spans)[:-1]])
+        nl = np.repeat(np.arange(L), cnts)
+        k = np.arange(int(cnts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnts) - cnts, cnts
+        )
+        new_flat = np.full(int(spans.sum()) * CH, -1, np.int32)
+        new_flat[row0w[nl] * CH + k] = tf[off64[nl] + k]
+        ids = jnp.asarray(new_flat.reshape(-1, CH))
+    bucket_row0 = np.concatenate([[0], np.cumsum(spans)[:-1]]).astype(
+        np.int32
+    )
     packed_fields = jnp.asarray(packed_fields)
     nf = packed_fields.shape[1]
     # auto prefers the vertex tier: 2.1x smaller AND measured ~9% faster
@@ -1295,14 +1329,8 @@ def make_bucket_tables(
     # center to the bucket's triangles. Lists are sorted by center
     # distance, so bucket_cmin is non-decreasing within a leaf — the
     # query's early-exit bound.
-    cnts = np.asarray(leaf_count)
-    # tri_flat spans are padded to _LEAF_CHUNK at build time; a leaf owns
-    # its padded span's worth of CH-wide buckets, not ceil(cnt/CH).
-    spans = (
-        (-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH)
-    ).astype(np.int64)
     bucket_leaf = np.repeat(
-        np.arange(len(cnts), dtype=np.int32), spans
+        np.arange(L, dtype=np.int32), spans
     )[: ids.shape[0]]
     if len(bucket_leaf) < ids.shape[0]:
         bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
@@ -1344,7 +1372,7 @@ def make_bucket_tables(
         bucket_cmin = jnp.pad(
             bucket_cmin, (0, extra), constant_values=jnp.inf
         )
-    return ids, bucket_fields, bucket_cmin
+    return ids, bucket_fields, bucket_cmin, jnp.asarray(bucket_row0)
 
 
 class ExactOctreeSdf(SdfFunction):
@@ -1418,7 +1446,8 @@ class ExactOctreeSdf(SdfFunction):
         cnts_np = np.asarray(self.leaf_count)
         med = float(np.median(cnts_np[cnts_np > 0])) if (cnts_np > 0).any() else 1.0
         self._scan_prologue = int(min(8, -(-med // self.scan_chunk)))
-        self.bucket_ids, self.bucket_fields, self.bucket_cmin = (
+        self.bucket_ids, self.bucket_fields, self.bucket_cmin, \
+            self.bucket_row0 = (
             make_bucket_tables(
                 self.tri_flat,
                 self.leaf_count,
@@ -1465,11 +1494,17 @@ class ExactOctreeSdf(SdfFunction):
 
     def set_scan_chunk(self, chunk: int) -> None:
         """Rebuild the bucket tables with a different scan chunk width.
-        Must divide the build-time span alignment (64). Smaller chunks cut
-        the per-point eval floor (points pay >= one chunk of pairwise
-        evals) at the price of more loop iterations for fat lists."""
-        if 64 % chunk:
-            raise ValueError("scan chunk must divide 64")
+        Must divide the build-time span alignment (64), or be a multiple
+        of it (128/256 repack the CSR into wider spans — full 128-lane
+        vregs per scan eval, more padding slots for short lists; see
+        make_bucket_tables). Smaller chunks cut the per-point eval floor
+        (points pay >= one chunk of pairwise evals) at the price of more
+        loop iterations for fat lists."""
+        if chunk <= 64:
+            if 64 % chunk:
+                raise ValueError("scan chunk must divide 64")
+        elif chunk % 64 or chunk > 256:
+            raise ValueError("wide scan chunk must be 128 or 256")
         if int(chunk) == self.scan_chunk:
             return
         self.scan_chunk = int(chunk)
@@ -1479,6 +1514,11 @@ class ExactOctreeSdf(SdfFunction):
         self.bucket_ids = None
         self.bucket_cmin = None
         self._make_buckets()
+        if self.scan_chunk > 64 and self.bucket_fields is None:
+            raise ValueError(
+                "wide scan chunks require dense buckets within the byte "
+                "budget (the id-only fallback indexes 64-aligned spans)"
+            )
 
     def build_query_grid(self) -> None:
         """Dense leaf-id grid at max_depth resolution: descent becomes one
@@ -1549,7 +1589,7 @@ class ExactOctreeSdf(SdfFunction):
             out, iters = _exact_query_fused(
                 self.octree_data,
                 self._leaf_grid if use_grid else jnp.zeros(8, jnp.int32),
-                self.leaf_offset,
+                self.bucket_row0,
                 self.leaf_count,
                 self.leaf_centers,
                 self.bucket_ids,
@@ -1582,7 +1622,9 @@ class ExactOctreeSdf(SdfFunction):
             order = jnp.argsort(leaf_id)
             pts_s = flat_p[order]
             lid_s = leaf_id[order]
-            max_chunks = -(-max_cnt // _LEAF_CHUNK)
+            # the id-only fallback is always 64-alignable (set_scan_chunk
+            # rejects wide chunks without dense fields)
+            max_chunks = -(-max_cnt // self.scan_chunk)
             win_parts = []
             for i in range(0, Pp, B):
                 win_parts.append(

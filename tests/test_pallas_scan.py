@@ -68,7 +68,7 @@ def test_kernel_matches_bruteforce_synthetic():
         exact_scan_grouped_pallas(
             jnp.asarray(bucket_ids), jnp.asarray(fields),
             jnp.asarray(gpts), jnp.asarray(gleaf),
-            jnp.asarray(offs), jnp.asarray(counts),
+            jnp.asarray(offs // CH), jnp.asarray(counts),
             GB=GB, H=H, interpret=True,
         )
     )
@@ -112,3 +112,22 @@ def test_fused_query_pallas_matches_xla():
     np.testing.assert_allclose(
         np.asarray(g_xla), np.asarray(g_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_wide_scan_chunk_repack():
+    """chunk=128 repacks the CSR into wider spans (full-vreg evals);
+    distances must be unchanged under both scan backends."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=16)
+    box = mesh.bounding_box.add_margin(0.1)
+    sdf = ExactOctreeSdf(
+        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16
+    )
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-0.5, 0.5, size=(1024, 3)).astype(np.float32)
+    d64 = np.asarray(sdf.get_distance(pts))
+    sdf.set_scan_chunk(128)
+    d128 = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d128, d64, rtol=1e-6, atol=1e-7)
+    sdf.set_scan_impl("pallas")
+    d128p = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d128p, d64, rtol=1e-6, atol=1e-7)
