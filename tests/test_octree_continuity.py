@@ -140,3 +140,27 @@ def test_continuity_save_load_roundtrip(tmp_path, cont_octree):
         np.asarray(loaded.get_distance(pts)),
         np.asarray(cont_octree.get_distance(pts)),
     )
+
+
+def test_continuity_strategy_cull_same_structure(sphere_mesh, cont_octree):
+    """The pluggable influence-strategy cull must leave the continuity
+    builder's output unchanged to sampling accuracy (safe superset; only
+    argmin ties can drift) with fewer triangles per node."""
+    box = sphere_mesh.bounding_box.add_margin(0.14)
+    alt = OctreeSdf(
+        sphere_mesh, box, max_depth=5, start_depth=2,
+        termination_threshold=1e-3, init_algorithm="continuity",
+        strategy="lattice",
+    )
+    base = cont_octree
+    assert alt.octree_data.shape == base.octree_data.shape
+    rng = np.random.default_rng(13)
+    pts = rng.uniform(box.min, box.max, (4096, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(alt.get_distance(pts)),
+        np.asarray(base.get_distance(pts)),
+        atol=2e-4,
+    )
+    tb = base.build_stats["tris_per_node"]
+    ta = alt.build_stats["tris_per_node"]
+    assert min(ta[d] / max(tb[d], 1e-9) for d in tb) < 0.9, (ta, tb)
