@@ -45,8 +45,9 @@ def _scan_kernel(
     # scalar prefetch
     row0_ref,      # (NBLK,) int32: first bucket row of each block's span
     nrow_ref,      # (NBLK,) int32: rows in each block's span
-    # blocked VMEM inputs
-    gx_ref,        # (GB, G)
+    # blocked VMEM inputs (points TRANSPOSED: lane-sliced per group
+    # without a per-group sublane<->lane relayout)
+    gx_ref,        # (G, GB)
     gy_ref,
     gz_ref,
     b0_ref,        # (GB, 1) int32 per-group first bucket row
@@ -111,9 +112,9 @@ def _scan_kernel(
             c_lo = jnp.maximum(b0, lo)
             c_hi = jnp.minimum(b0 + nc, hi)
 
-            px = gx_ref[pl.ds(g, 1), :].T        # (G, 1)
-            py = gy_ref[pl.ds(g, 1), :].T
-            pz = gz_ref[pl.ds(g, 1), :].T
+            px = gx_ref[:, pl.ds(g, 1)]          # (G, 1) column slice
+            py = gy_ref[:, pl.ds(g, 1)]
+            pz = gz_ref[:, pl.ds(g, 1)]
 
             def chunk_body(c, carry):
                 bst, wid = carry                  # (1, G) running min/id
@@ -226,9 +227,9 @@ def exact_scan_grouped_pallas(
         num_scalar_prefetch=2,
         grid=(NBLK,),
         in_specs=[
-            pl.BlockSpec((GB, G), lambda b, *_: (b, 0)),
-            pl.BlockSpec((GB, G), lambda b, *_: (b, 0)),
-            pl.BlockSpec((GB, G), lambda b, *_: (b, 0)),
+            pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
+            pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
+            pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
             pl.BlockSpec((GB, 1), lambda b, *_: (b, 0)),
             pl.BlockSpec((GB, 1), lambda b, *_: (b, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -245,10 +246,12 @@ def exact_scan_grouped_pallas(
         ],
     )
     kernel = partial(_scan_kernel, H=H, GB=GB, CH=CH)
-    # points with +inf padding slots would poison the eval -> sanitize
-    gx = jnp.nan_to_num(gpts[..., 0], posinf=0.0)
-    gy = jnp.nan_to_num(gpts[..., 1], posinf=0.0)
-    gz = jnp.nan_to_num(gpts[..., 2], posinf=0.0)
+    # points with +inf padding slots would poison the eval -> sanitize;
+    # transposed ONCE here (one XLA pass) so the kernel's per-group fetch
+    # is a plain lane slice
+    gx = jnp.nan_to_num(gpts[..., 0], posinf=0.0).T
+    gy = jnp.nan_to_num(gpts[..., 1], posinf=0.0).T
+    gz = jnp.nan_to_num(gpts[..., 2], posinf=0.0).T
     win = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
