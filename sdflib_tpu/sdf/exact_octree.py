@@ -1446,8 +1446,12 @@ class ExactOctreeSdf(SdfFunction):
         cnts_np = np.asarray(self.leaf_count)
         med = float(np.median(cnts_np[cnts_np > 0])) if (cnts_np > 0).any() else 1.0
         self._scan_prologue = int(min(8, -(-med // self.scan_chunk)))
-        self.bucket_ids, self.bucket_fields, self.bucket_cmin, \
-            self.bucket_row0 = (
+        (
+            self.bucket_ids,
+            self.bucket_fields,
+            self.bucket_cmin,
+            self.bucket_row0,
+        ) = (
             make_bucket_tables(
                 self.tri_flat,
                 self.leaf_count,
