@@ -102,7 +102,19 @@ def _grid_distance_and_step(
     t_ax = jnp.where(
         dirs != 0.0, (far_face - pts) / dirs, jnp.inf
     )
-    t_exit = jnp.min(t_ax, axis=-1) + 1e-3 * cell_size
+    t_exit = jnp.min(t_ax, axis=-1)
+
+    # Free-RADIUS box exit (build_query_grid bits 17-21): every cell
+    # within Chebyshev distance `rad` is also free, so the exit of the
+    # (2*rad+1)-cell box is safe too — one step crosses a whole empty
+    # region of small leaves, not just the current leaf. Both exits are
+    # safe; take the farther.
+    rad = ((dw >> 17) & jnp.uint32(0x1F)).astype(pts.dtype)
+    rbox_min = box_min + (cell.astype(pts.dtype) - rad[..., None]) * cell_size
+    rbox_size = (2.0 * rad + 1.0)[..., None] * cell_size
+    far_face_r = rbox_min + (dirs > 0).astype(pts.dtype) * rbox_size
+    t_ax_r = jnp.where(dirs != 0.0, (far_face_r - pts) / dirs, jnp.inf)
+    t_exit = jnp.maximum(t_exit, jnp.min(t_ax_r, axis=-1)) + 1e-3 * cell_size
 
     step = jnp.where(
         (free == 1) & in_box, jnp.maximum(d, t_exit), jnp.maximum(d, 0.0)

@@ -522,7 +522,15 @@ class OctreeSdf(SdfFunction):
         Because the true SDF is 1-Lipschitz, d_true > 0 throughout the
         cell, and the polynomial (within its fit-error budget of the true
         SDF) stays above the tracer's hit threshold — so stepping to the
-        cell exit cannot skip a hit."""
+        cell exit cannot skip a hit.
+
+        Bits 17-21 additionally store a quantized FREE RADIUS r ∈
+        {0,1,2,4,8,16}: every cell within Chebyshev distance r is also
+        free, so the tracer may step to the exit of the (2r+1)-cell box —
+        one gather crosses a whole empty REGION, not just the current
+        leaf (a ray skimming a shell of small free leaves pays one step
+        per leaf otherwise). Computed by erosion doubling: three
+        separable axis min-filters per level, radii composing additively."""
         g = 1 << self.max_depth
         box_min = np.asarray(self.box.min, np.float32)
         box_size = float(self.box.size[0])
@@ -548,8 +556,43 @@ class OctreeSdf(SdfFunction):
             centers = box_min + (centers_all[i : i + chunk] + 0.5) * cell_size
             d = np.asarray(self.get_distance(jnp.asarray(centers)))
             free[i : i + chunk] = d > cut
+
+        # free radius by erosion doubling (box min-filters are separable;
+        # erosions compose additively in radius). Out-of-grid treated as
+        # free: beyond the box the SDF is the exact box fallback, which
+        # the march handles with its own safe step.
+        def _erode(a: np.ndarray, r: int) -> np.ndarray:
+            for ax in range(3):
+                m = a
+                for s in range(1, r + 1):
+                    lo = np.ones_like(a)
+                    hi = np.ones_like(a)
+                    sl_lo = [slice(None)] * 3
+                    sl_hi = [slice(None)] * 3
+                    sl_lo[ax] = slice(s, None)
+                    sl_hi[ax] = slice(None, -s)
+                    lo[tuple(sl_hi)] = a[tuple(sl_lo)]
+                    hi[tuple(sl_lo)] = a[tuple(sl_hi)]
+                    m = m & lo & hi
+                a = m
+            return a
+
+        f3 = free.reshape(g, g, g)
+        radius = f3.astype(np.uint32)  # 1 where the cell itself is free
+        er, r_acc = f3, 1
+        for step in (1, 2, 4, 8):
+            if 2 * (r_acc + step) + 1 > g:
+                break
+            er = _erode(er, step)
+            r_acc += step
+            np.maximum(radius, er.astype(np.uint32) * r_acc, out=radius)
+        # radius semantics for the tracer: all cells within Chebyshev
+        # (radius - 1) of a free cell are free; store radius - 1.
+        rad_m1 = np.where(radius > 0, radius - 1, 0).astype(np.uint32)
+
         out = grid.copy()
         out[:, 1] |= free.astype(np.uint32) << 16
+        out[:, 1] |= (rad_m1.reshape(-1) & 0x1F) << 17
         return out
 
     def _query(self, points, with_gradient: bool):
