@@ -42,7 +42,7 @@ def main():
         except ValueError as e:
             print(json.dumps({"chunk": chunk, "error": repr(e)}), flush=True)
             continue
-        for impl in ("xla", "pallas"):
+        for impl in ("xla", "pallas", "pallas_window"):
             key = f"{impl}-{chunk}"
             try:
                 ex.set_scan_impl(impl)

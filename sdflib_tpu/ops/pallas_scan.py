@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the exact-octree grouped candidate scan.
+"""Pallas TPU kernels for the exact-octree candidate scan.
 
 The XLA scan (`sdf/exact_octree._exact_scan_grouped`) pays two structural
 costs on this hardware:
@@ -9,15 +9,28 @@ costs on this hardware:
 * early exit is BLOCK-granular: one fat-list group keeps its whole
   NB-group block iterating.
 
-This kernel re-states the scan as slab streaming: groups arrive sorted by
-leaf id, and the CSR bucket table is laid out in leaf order, so a block of
-GB consecutive groups touches one CONTIGUOUS range of bucket rows. Each
-grid step DMAs that block's row range from HBM into VMEM in H-row slabs
-(one descriptor per slab — per-(group, chunk) row DMAs would be issue-
-bound at ~500k descriptors per query) and every group then scans exactly
-``ceil(count/CH)`` chunks out of VMEM — per-GROUP bounds, no while loop,
-no per-lane dynamic gather (the CLAUDE.md Mosaic limit: rows are selected
-by a scalar loop index, and the G x CH eval is a dense vector op).
+The kernel re-states the scan as slab streaming: points arrive sorted by
+leaf id, and the CSR bucket table is laid out in leaf order, so a block
+of GB consecutive groups touches one CONTIGUOUS range of bucket rows.
+Each grid step DMAs that block's row range from HBM into VMEM in
+double-buffered H-row slabs (one descriptor per slab — per-(group, chunk)
+row DMAs would be issue-bound at ~500k descriptors per query) and every
+group then scans its chunk range out of VMEM with PER-POINT row bounds —
+no while loop, no per-lane dynamic gather (the CLAUDE.md Mosaic limit:
+rows are selected by a scalar loop index, and the G x CH eval is a dense
+vector op).
+
+Two grouping modes share the kernel:
+
+* ``exact_scan_grouped_pallas`` — leaf-aligned (NG, G) groups from the
+  fused query's scatter: every point in a group shares one leaf, so the
+  per-point bounds are uniform within a group.
+* ``exact_scan_window_pallas`` — FIXED G-point windows of the sorted
+  order, no scatter/prefix-sum assembly at all: a window may straddle a
+  few consecutive leaves, so its scan range is the union span and each
+  point masks rows outside its own leaf (the per-point bounds do real
+  work). Eliminates two full latency-bound batch passes at the price of
+  boundary-crossing eval waste; A/B measured on hardware.
 
 The eval reuses ``sq_dist_from_vertex_cols`` — the same exact
 region-classified kernel (TriangleUtils.h:76-135 semantics) as every
@@ -30,7 +43,6 @@ from __future__ import annotations
 
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -38,20 +50,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .point_triangle import sq_dist_from_vertex_cols
 
-__all__ = ["exact_scan_grouped_pallas"]
+__all__ = ["exact_scan_grouped_pallas", "exact_scan_window_pallas"]
 
 
 def _scan_kernel(
     # scalar prefetch
     row0_ref,      # (NBLK,) int32: first bucket row of each block's span
     nrow_ref,      # (NBLK,) int32: rows in each block's span
-    # blocked VMEM inputs (points TRANSPOSED: lane-sliced per group
+    # blocked VMEM inputs (all TRANSPOSED (G, GB): lane-sliced per group
     # without a per-group sublane<->lane relayout)
     gx_ref,        # (G, GB)
     gy_ref,
     gz_ref,
-    b0_ref,        # (GB, 1) int32 per-group first bucket row
-    nc_ref,        # (GB, 1) int32 per-group chunk count
+    b0_ref,        # (G, GB) int32 per-POINT first bucket row
+    nc_ref,        # (G, GB) int32 per-POINT chunk count
     # HBM
     ids_hbm,       # (NBp, CH) int32
     fld_hbm,       # (NBp, 9*CH) f32
@@ -107,10 +119,13 @@ def _scan_kernel(
         hi = lo + H
 
         def group_body(g, _):
-            b0 = b0_ref[g, 0]
-            nc = nc_ref[g, 0]
-            c_lo = jnp.maximum(b0, lo)
-            c_hi = jnp.minimum(b0 + nc, hi)
+            b0v = b0_ref[:, pl.ds(g, 1)]         # (G, 1) per-point bounds
+            ncv = nc_ref[:, pl.ds(g, 1)]
+            live = ncv > 0
+            c_lo = jnp.maximum(
+                jnp.min(jnp.where(live, b0v, jnp.int32(2**30))), lo
+            )
+            c_hi = jnp.minimum(jnp.max(jnp.where(live, b0v + ncv, 0)), hi)
 
             px = gx_ref[:, pl.ds(g, 1)]          # (G, 1) column slice
             py = gy_ref[:, pl.ds(g, 1)]
@@ -125,7 +140,8 @@ def _scan_kernel(
                     px, py, pz,
                     lambda r: row[:, r * CH:(r + 1) * CH],
                 )                                 # (G, CH)
-                sqd = jnp.where(tid >= 0, sqd, jnp.inf)
+                pvalid = (c >= b0v) & (c < b0v + ncv)          # (G, 1)
+                sqd = jnp.where((tid >= 0) & pvalid, sqd, jnp.inf)
                 loc = jnp.min(sqd, axis=1)[None, :]            # (1, G)
                 am = jnp.argmin(sqd, axis=1)                   # (G,)
                 oh = (
@@ -170,34 +186,17 @@ def _scan_kernel(
     jax.lax.fori_loop(0, nslab, slab_body, 0)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("GB", "H", "interpret"),
-)
-def exact_scan_grouped_pallas(
-    bucket_ids,    # (NB, CH) int32
-    bucket_fields, # (NB, 9*CH) f32 vertex-format rows
-    gpts,          # (NG, G, 3) grouped points (one leaf per group)
-    gleaf,         # (NG,) leaf id per group
-    bucket_row0,   # (L,) first bucket ROW of each leaf
-    leaf_count,    # (L,)
-    *,
-    GB: int = 256,
-    H: int = 256,
-    interpret: bool = False,
+def _scan_call(
+    bucket_ids, bucket_fields, gx, gy, gz, b0T, ncT,
+    *, GB: int, H: int, interpret: bool,
 ):
-    """Winner triangle ids (NG, G) for leaf-grouped points.
-
-    Exact per-group chunk bounds (no early exit: the distance-sorted
-    early-exit bound typically saves ~0.5 chunks/group, less than the
-    while-loop serialization it costs). Empty groups (count 0) write id 0
-    and are masked by the caller's slot validity.
+    """Shared pallas_call: all point/bound arrays are transposed (G, NG).
 
     Both bucket tables must be row-padded to a multiple of ``H`` by the
     CALLER (the exact-octree build does this once): padding here would
     copy the multi-GB tables inside every query program.
     """
-    NG, G, _ = gpts.shape
+    G, NG = gx.shape
     CH = bucket_ids.shape[1]
     nf = bucket_fields.shape[1] // CH
     assert nf == 9, "pallas scan requires vertex-format buckets"
@@ -205,21 +204,15 @@ def exact_scan_grouped_pallas(
     assert bucket_ids.shape[0] % H == 0, "bucket rows must be H-padded"
     NBLK = NG // GB
 
-    bucket0 = bucket_row0[gleaf].astype(jnp.int32)
-    nchunk = -(-leaf_count[gleaf] // CH)
-    # gleaf of empty padding groups is 0 (leaf 0's rows): harmless reads,
-    # masked winners; keep their spans zero so block row ranges stay tight.
-    has_pts = jnp.any(jnp.isfinite(gpts[..., 0]), axis=1)
-    nchunk = jnp.where(has_pts, nchunk, 0).astype(jnp.int32)
-
-    # Per-block contiguous row span (groups are leaf-sorted so bucket0 is
-    # non-decreasing over non-empty groups).
-    b0_blk = bucket0.reshape(NBLK, GB)
-    nc_blk = nchunk.reshape(NBLK, GB)
+    # Per-block contiguous row span (points are leaf-sorted so spans are
+    # non-decreasing over live points).
+    b0r = b0T.reshape(G, NBLK, GB)
+    ncr = ncT.reshape(G, NBLK, GB)
+    live = ncr > 0
     lo_blk = jnp.min(
-        jnp.where(nc_blk > 0, b0_blk, jnp.int32(2**30)), axis=1
+        jnp.where(live, b0r, jnp.int32(2**30)), axis=(0, 2)
     )
-    hi_blk = jnp.max(jnp.where(nc_blk > 0, b0_blk + nc_blk, 0), axis=1)
+    hi_blk = jnp.max(jnp.where(live, b0r + ncr, 0), axis=(0, 2))
     row0 = jnp.minimum(lo_blk, jnp.int32(bucket_ids.shape[0]))
     nrow = jnp.maximum(hi_blk - row0, 0).astype(jnp.int32)
 
@@ -230,8 +223,8 @@ def exact_scan_grouped_pallas(
             pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
             pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
             pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
-            pl.BlockSpec((GB, 1), lambda b, *_: (b, 0)),
-            pl.BlockSpec((GB, 1), lambda b, *_: (b, 0)),
+            pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
+            pl.BlockSpec((G, GB), lambda b, *_: (0, b)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -246,21 +239,89 @@ def exact_scan_grouped_pallas(
         ],
     )
     kernel = partial(_scan_kernel, H=H, GB=GB, CH=CH)
-    # points with +inf padding slots would poison the eval -> sanitize;
-    # transposed ONCE here (one XLA pass) so the kernel's per-group fetch
-    # is a plain lane slice
-    gx = jnp.nan_to_num(gpts[..., 0], posinf=0.0).T
-    gy = jnp.nan_to_num(gpts[..., 1], posinf=0.0).T
-    gz = jnp.nan_to_num(gpts[..., 2], posinf=0.0).T
-    win = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NG, G), jnp.int32),
         interpret=interpret,
     )(
         row0, nrow,
-        gx, gy, gz,
-        bucket0[:, None], nchunk[:, None],
+        gx, gy, gz, b0T, ncT,
         bucket_ids, bucket_fields,
     )
-    return win
+
+
+@partial(jax.jit, static_argnames=("GB", "H", "interpret"))
+def exact_scan_grouped_pallas(
+    bucket_ids,    # (NB, CH) int32
+    bucket_fields, # (NB, 9*CH) f32 vertex-format rows
+    gpts,          # (NG, G, 3) grouped points (one leaf per group)
+    gleaf,         # (NG,) leaf id per group
+    bucket_row0,   # (L,) first bucket ROW of each leaf
+    leaf_count,    # (L,)
+    *,
+    GB: int = 256,
+    H: int = 256,
+    interpret: bool = False,
+):
+    """Winner triangle ids (NG, G) for leaf-aligned point groups.
+
+    Exact per-group chunk bounds (no early exit: the distance-sorted
+    early-exit bound typically saves ~0.5 chunks/group, less than the
+    while-loop serialization it costs). Empty groups (count 0) write id 0
+    and are masked by the caller's slot validity.
+    """
+    NG, G, _ = gpts.shape
+    CH = bucket_ids.shape[1]
+
+    bucket0 = bucket_row0[gleaf].astype(jnp.int32)
+    nchunk = -(-leaf_count[gleaf] // CH)
+    # gleaf of empty padding groups is 0 (leaf 0's rows): harmless reads,
+    # masked winners; keep their spans zero so block row ranges stay tight.
+    has_pts = jnp.any(jnp.isfinite(gpts[..., 0]), axis=1)
+    nchunk = jnp.where(has_pts, nchunk, 0).astype(jnp.int32)
+
+    # points with +inf padding slots would poison the eval -> sanitize;
+    # transposed ONCE here (one XLA pass) so the kernel's per-group fetch
+    # is a plain lane slice
+    gx = jnp.nan_to_num(gpts[..., 0], posinf=0.0).T
+    gy = jnp.nan_to_num(gpts[..., 1], posinf=0.0).T
+    gz = jnp.nan_to_num(gpts[..., 2], posinf=0.0).T
+    b0T = jnp.broadcast_to(bucket0[None, :], (G, NG))
+    ncT = jnp.broadcast_to(nchunk[None, :], (G, NG))
+    return _scan_call(
+        bucket_ids, bucket_fields, gx, gy, gz, b0T, ncT,
+        GB=GB, H=H, interpret=interpret,
+    )
+
+
+@partial(jax.jit, static_argnames=("G", "GB", "H", "interpret"))
+def exact_scan_window_pallas(
+    bucket_ids,    # (NB, CH) int32
+    bucket_fields, # (NB, 9*CH) f32 vertex-format rows
+    pts_s,         # (P, 3) points SORTED by leaf id
+    b0_pt,         # (P,) int32 first bucket row of each point's leaf
+    nc_pt,         # (P,) int32 chunk count of each point's leaf
+    *,
+    G: int,
+    GB: int = 256,
+    H: int = 256,
+    interpret: bool = False,
+):
+    """Winner ids (P // G, G) for FIXED G-point windows of the sorted
+    order — no group assembly: windows are plain reshapes, and
+    ``wins.reshape(-1)`` is already in sorted point order. A window that
+    straddles leaves scans the union of its member spans (contiguous by
+    construction) with per-point masking."""
+    P = pts_s.shape[0]
+    assert P % G == 0
+    NG = P // G
+    gx = pts_s[:, 0].reshape(NG, G).T
+    gy = pts_s[:, 1].reshape(NG, G).T
+    gz = pts_s[:, 2].reshape(NG, G).T
+    b0T = b0_pt.astype(jnp.int32).reshape(NG, G).T
+    ncT = nc_pt.astype(jnp.int32).reshape(NG, G).T
+    return _scan_call(
+        bucket_ids, bucket_fields, gx, gy, gz, b0T, ncT,
+        GB=min(GB, NG), H=H, interpret=interpret,
+    )

@@ -43,7 +43,10 @@ from ..ops.point_triangle import (
     sq_dist_from_vertex_cols,
     sq_dist_packed,
 )
-from ..ops.pallas_scan import exact_scan_grouped_pallas
+from ..ops.pallas_scan import (
+    exact_scan_grouped_pallas,
+    exact_scan_window_pallas,
+)
 from .octree import _build_leaf_grid, _select8
 from .octree_builder import CHILDREN_INDEX_MASK, IS_LEAF_MASK, _round_pow2
 from .sdf_function import SdfFormat, SdfFunction
@@ -686,53 +689,68 @@ def _exact_query_fused(
         (leaf_id, pts[:, 0], pts[:, 1], pts[:, 2], iota), num_keys=1
     )
     pts_s = jnp.stack([xs, ys, zs], axis=-1)
-    gid, lane = _assign_groups(lid_s, G=G)
-    gpts, gvalid, gleaf, slot = _scatter_groups(
-        pts_s, lid_s, gid, lane, G=G, NG=NG
-    )
-    # Group ids are assigned in leaf-sorted order, so EMPTY padding groups
-    # are exactly the tail [n_groups, NG) — whole tail blocks no-op via
-    # the kernel's lax.cond without any reordering. (An explicit
-    # length-sort of the groups was measured to cost more in NG-sized
-    # permutes than its iteration uniformity saved once the scan loop
-    # got its fixed-trip prologue.)
 
-    # -- block scans ---------------------------------------------------------
-    if scan_impl == "pallas":
-        # One Pallas program over all groups: each grid step slab-streams
-        # its block's contiguous bucket-row span through VMEM
-        # (ops/pallas_scan.py). Requires vertex-format buckets.
-        wins = exact_scan_grouped_pallas(
-            bucket_ids, bucket_fields, gpts, gleaf,
-            bucket_row0, leaf_count,
-            GB=min(256, NG), H=_PALLAS_SLAB,
-            interpret=pallas_interpret,
+    # -- scans ---------------------------------------------------------------
+    iters = jnp.int32(0)
+    if scan_impl == "pallas_window":
+        # FIXED G-point windows of the sorted order: no prefix-sum group
+        # assembly, no payload scatter, no winner unsort indirection —
+        # windows are reshapes and the kernel masks rows per point
+        # (ops/pallas_scan.py). A window straddling leaves scans the
+        # union of its member spans.
+        CH = bucket_ids.shape[1]
+        b0_pt = bucket_row0[lid_s].astype(jnp.int32)
+        nc_pt = (-(-leaf_count[lid_s] // CH)).astype(jnp.int32)
+        wins = exact_scan_window_pallas(
+            bucket_ids, bucket_fields, pts_s, b0_pt, nc_pt,
+            G=G, H=_PALLAS_SLAB, interpret=pallas_interpret,
         )
-        iters = jnp.int32(0)
+        win_s = wins.reshape(-1)
     else:
-        # one compiled body, sequential over blocks
-        def blk(args):
-            bp, bv, bl = args
-            return _exact_scan_grouped(
-                bucket_row0, leaf_count, leaf_centers,
-                bucket_ids, bucket_fields, bucket_cmin,
-                bp, bv, bl,
-                max_chunks=max_chunks, early_exit=early_exit,
-                prologue=prologue,
-            )
-
-        nblocks = NG // NB
-        wins, iters = jax.lax.map(
-            blk,
-            (
-                gpts.reshape(nblocks, NB, G, 3),
-                gvalid.reshape(nblocks, NB, G),
-                gleaf.reshape(nblocks, NB),
-            ),
+        gid, lane = _assign_groups(lid_s, G=G)
+        gpts, gvalid, gleaf, slot = _scatter_groups(
+            pts_s, lid_s, gid, lane, G=G, NG=NG
         )
+        # Group ids are assigned in leaf-sorted order, so EMPTY padding
+        # groups are exactly the tail [n_groups, NG) — whole tail blocks
+        # no-op without any reordering. (An explicit length-sort of the
+        # groups was measured to cost more in NG-sized permutes than its
+        # iteration uniformity saved once the scan loop got its
+        # fixed-trip prologue.)
+        if scan_impl == "pallas":
+            # One Pallas program over all groups: each grid step
+            # slab-streams its block's contiguous bucket-row span through
+            # VMEM (ops/pallas_scan.py). Requires vertex-format buckets.
+            wins = exact_scan_grouped_pallas(
+                bucket_ids, bucket_fields, gpts, gleaf,
+                bucket_row0, leaf_count,
+                GB=min(256, NG), H=_PALLAS_SLAB,
+                interpret=pallas_interpret,
+            )
+        else:
+            # one compiled body, sequential over blocks
+            def blk(args):
+                bp, bv, bl = args
+                return _exact_scan_grouped(
+                    bucket_row0, leaf_count, leaf_centers,
+                    bucket_ids, bucket_fields, bucket_cmin,
+                    bp, bv, bl,
+                    max_chunks=max_chunks, early_exit=early_exit,
+                    prologue=prologue,
+                )
+
+            nblocks = NG // NB
+            wins, iters = jax.lax.map(
+                blk,
+                (
+                    gpts.reshape(nblocks, NB, G, 3),
+                    gvalid.reshape(nblocks, NB, G),
+                    gleaf.reshape(nblocks, NB),
+                ),
+            )
+        win_s = wins.reshape(-1)[slot]          # winner per sorted point
 
     # -- finish in SORTED space, one scatter back ----------------------------
-    win_s = wins.reshape(-1)[slot]              # winner per sorted point
     # in_box recomputed elementwise on sorted points (cheaper than a
     # permute of the descent mask)
     rel = (pts_s - box_min) / box_size
@@ -1479,13 +1497,15 @@ class ExactOctreeSdf(SdfFunction):
     _AUTO_GRID_DEPTH = 7
 
     def set_scan_impl(self, impl: str) -> None:
-        """Select the grouped-scan backend: "xla" (lax.map over blocks,
-        early-exit while loop) or "pallas" (slab-streaming VMEM kernel,
-        ops/pallas_scan.py). "pallas" requires vertex-format buckets
-        (the auto default) and runs in interpret mode off-TPU."""
-        if impl not in ("xla", "pallas"):
+        """Select the candidate-scan backend: "xla" (lax.map over blocks,
+        early-exit while loop), "pallas" (slab-streaming VMEM kernel over
+        leaf-aligned groups), or "pallas_window" (the same kernel over
+        fixed windows of the sorted order — no group-assembly passes; see
+        ops/pallas_scan.py). The Pallas backends require vertex-format
+        buckets (the auto default) and run in interpret mode off-TPU."""
+        if impl not in ("xla", "pallas", "pallas_window"):
             raise ValueError(f"unknown scan impl {impl!r}")
-        if impl == "pallas":
+        if impl.startswith("pallas"):
             CH = self.scan_chunk
             if (
                 self.bucket_fields is None

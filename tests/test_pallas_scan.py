@@ -104,6 +104,9 @@ def test_fused_query_pallas_matches_xla():
     sdf.set_scan_impl("pallas")
     d_pal = np.asarray(sdf.get_distance(pts))
     np.testing.assert_allclose(d_pal, d_xla, rtol=1e-5, atol=1e-6)
+    sdf.set_scan_impl("pallas_window")
+    d_win = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d_win, d_xla, rtol=1e-5, atol=1e-6)
 
     # gradients route through the same winner ids
     _, g_xla = sdf.get_distance_and_gradient(pts[:256])
@@ -131,3 +134,6 @@ def test_wide_scan_chunk_repack():
     sdf.set_scan_impl("pallas")
     d128p = np.asarray(sdf.get_distance(pts))
     np.testing.assert_allclose(d128p, d64, rtol=1e-6, atol=1e-7)
+    sdf.set_scan_impl("pallas_window")
+    d128w = np.asarray(sdf.get_distance(pts))
+    np.testing.assert_allclose(d128w, d64, rtol=1e-6, atol=1e-7)
