@@ -199,8 +199,10 @@ def build_octree_continuity(
     packed_s = geo_s = None
     if strategy != "distance":
         from ..ops.point_triangle import pack_triangle_fields
-        from .exact_octree import _triangle_aabbs
+        from .exact_octree import _CULL_STRATEGIES, _triangle_aabbs
 
+        if strategy not in _CULL_STRATEGIES:
+            raise ValueError(f"unknown cull strategy {strategy!r}")
         packed_s = pack_triangle_fields(tris_dev)
         geo_s = (
             _triangle_aabbs(tris_dev)
