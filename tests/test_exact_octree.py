@@ -259,3 +259,30 @@ def test_nonmanifold_seam_mesh_build_and_query():
         np.float32
     )
     assert np.all(np.asarray(ex.get_distance(inside)) < 0)
+
+
+def test_streamed_build_matches_unstreamed():
+    """A tiny entry_budget forces the builder to stream node groups
+    through row-slice splits (the d7/100k-triangle memory path); the
+    emitted structure and distances must be identical to the one-shot
+    build."""
+    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    box = mesh.bounding_box.add_margin(0.14)
+    kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
+    one = ExactOctreeSdf(mesh, box, **kw)
+    streamed = ExactOctreeSdf(mesh, box, entry_budget=1 << 12, **kw)
+    assert streamed.build_stats["build_splits"] > 0
+    # slices allocate child blocks in their own order, so the flat array
+    # is a PERMUTATION of the one-shot build: same size, same leaf-list
+    # length multiset, bit-identical query results.
+    assert streamed.octree_data.shape == one.octree_data.shape
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(streamed.leaf_count)),
+        np.sort(np.asarray(one.leaf_count)),
+    )
+    rng = np.random.default_rng(12)
+    pts = rng.uniform(box.min, box.max, (2048, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(streamed.get_distance(pts)),
+        np.asarray(one.get_distance(pts)),
+    )
