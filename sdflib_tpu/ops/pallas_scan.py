@@ -276,8 +276,10 @@ def exact_scan_grouped_pallas(
 
     bucket0 = bucket_row0[gleaf].astype(jnp.int32)
     nchunk = -(-leaf_count[gleaf] // CH)
-    # gleaf of empty padding groups is 0 (leaf 0's rows): harmless reads,
-    # masked winners; keep their spans zero so block row ranges stay tight.
+    # Empty padding groups carry gleaf = bitcast(+inf) = 2139095040 (the
+    # scatter sentinel), so the gathers above CLAMP to the LAST leaf's
+    # values — harmless only because has_pts zeroes their chunk counts
+    # below, which also keeps block row spans tight. Do not drop the mask.
     has_pts = jnp.any(jnp.isfinite(gpts[..., 0]), axis=1)
     nchunk = jnp.where(has_pts, nchunk, 0).astype(jnp.int32)
 

@@ -28,6 +28,7 @@ def _device_put_structure(sdf, mesh):
     for name in (
         "octree_data",
         "leaf_offset",
+        "bucket_row0",
         "leaf_count",
         "leaf_centers",
         "bucket_ids",

@@ -321,6 +321,24 @@ def _precise_cull_chunk(packed, vworld, centers, cand_idx, cand_valid, half):
 _CULL_STRATEGIES = ("lattice", "basic", "precise", "per_vertex")
 
 
+def prepare_cull_inputs(tris_dev: TriangleDataSoA, strategy: str):
+    """(packed fields, geometry) device tables for a named influence
+    strategy — (None, None) for the approx builders' free "distance"
+    rule. One owner for the strategy->inputs mapping so the exact and
+    both approx builders cannot drift."""
+    if strategy == "distance":
+        return None, None
+    if strategy not in _CULL_STRATEGIES:
+        raise ValueError(f"unknown cull strategy {strategy!r}")
+    packed = pack_triangle_fields(tris_dev)
+    geo = (
+        _triangle_aabbs(tris_dev)
+        if strategy == "lattice"
+        else jnp.asarray(tris_dev.v_world)
+    )
+    return packed, geo
+
+
 @partial(jax.jit, static_argnames=("C", "strategy"))
 def _cull_group(packed, geo, centers, cand, valid, half, *, C: int, strategy: str):
     """All cull chunks of one node group as ONE compiled call (lax.map
@@ -1531,6 +1549,22 @@ class ExactOctreeSdf(SdfFunction):
             raise ValueError("wide scan chunk must be 128 or 256")
         if int(chunk) == self.scan_chunk:
             return
+        if chunk > 64:
+            # Validate BEFORE mutating any state: the id-only fallback
+            # indexes 64-aligned spans, so a wide repack without dense
+            # fields would silently mis-address candidate rows.
+            cnts = np.asarray(self.leaf_count)
+            slots = int(np.sum(-(-np.maximum(cnts, 1) // chunk))) * chunk
+            nf_est = (
+                19
+                if getattr(self, "bucket_format", "auto") == "frame19"
+                else 9
+            )
+            if slots * nf_est * 4 > self._BUCKET_BYTE_BUDGET:
+                raise ValueError(
+                    "wide scan chunks require dense vertex buckets "
+                    "within the byte budget"
+                )
         self.scan_chunk = int(chunk)
         # Drop the old denormalized tables BEFORE rebuilding: at bench
         # scales they are multi-GB and two copies can exhaust HBM.
@@ -1538,11 +1572,6 @@ class ExactOctreeSdf(SdfFunction):
         self.bucket_ids = None
         self.bucket_cmin = None
         self._make_buckets()
-        if self.scan_chunk > 64 and self.bucket_fields is None:
-            raise ValueError(
-                "wide scan chunks require dense buckets within the byte "
-                "budget (the id-only fallback indexes 64-aligned spans)"
-            )
 
     def build_query_grid(self) -> None:
         """Dense leaf-id grid at max_depth resolution: descent becomes one

@@ -525,7 +525,7 @@ class OctreeSdf(SdfFunction):
         cell exit cannot skip a hit.
 
         Bits 17-21 additionally store a quantized FREE RADIUS r ∈
-        {0,1,2,4,8,16}: every cell within Chebyshev distance r is also
+        {0,1,3,7,15}: every cell within Chebyshev distance r is also
         free, so the tracer may step to the exit of the (2r+1)-cell box —
         one gather crosses a whole empty REGION, not just the current
         leaf (a ray skimming a shell of small free leaves pays one step

@@ -196,19 +196,10 @@ def build_octree_continuity(
 
     ``strategy`` selects the child-list cull (see build_octree)."""
     tris_dev = jax.tree.map(jnp.asarray, tris)
-    packed_s = geo_s = None
-    if strategy != "distance":
-        from ..ops.point_triangle import pack_triangle_fields
-        from .exact_octree import _CULL_STRATEGIES, _triangle_aabbs
+    # late import: exact_octree imports the builder modules at load time
+    from .exact_octree import _PRECISE_MAX_REGIONS, prepare_cull_inputs
 
-        if strategy not in _CULL_STRATEGIES:
-            raise ValueError(f"unknown cull strategy {strategy!r}")
-        packed_s = pack_triangle_fields(tris_dev)
-        geo_s = (
-            _triangle_aabbs(tris_dev)
-            if strategy == "lattice"
-            else jnp.asarray(tris_dev.v_world)
-        )
+    packed_s, geo_s = prepare_cull_inputs(tris_dev, strategy)
     T = tris.num_triangles
     box_min = np.asarray(box_min, np.float32)
     box_size = np.float32(box_size)
@@ -311,7 +302,8 @@ def build_octree_continuity(
         Kp = _round_pow2(K, 8)
         C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
         if strategy == "precise":
-            C = max(1, C // 16)  # extra region factor in the pair state
+            # extra region factor in the pair state
+            C = max(1, C // _PRECISE_MAX_REGIONS)
         Np = -(-N // C) * C
         pad = Np - N
 

@@ -75,6 +75,10 @@ def main(argv=None) -> int:
         print(f"error: unknown termination_rule {args.termination_rule!r}",
               file=sys.stderr)
         return 1
+    if args.sdf_format == "exact_octree" and args.strategy == "distance":
+        print("error: --strategy distance is approx-only (exact octrees "
+              "take lattice/basic/precise/per_vertex)", file=sys.stderr)
+        return 1
 
     mesh = load_model(args.model_path, args.normalize)
     box = prepare_box(mesh, args.bb_margin)

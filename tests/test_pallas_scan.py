@@ -108,13 +108,16 @@ def test_fused_query_pallas_matches_xla():
     d_win = np.asarray(sdf.get_distance(pts))
     np.testing.assert_allclose(d_win, d_xla, rtol=1e-5, atol=1e-6)
 
-    # gradients route through the same winner ids
-    _, g_xla = sdf.get_distance_and_gradient(pts[:256])
+    # gradients route through the winner ids: cover BOTH pallas backends
     sdf.set_scan_impl("xla")
     _, g_ref = sdf.get_distance_and_gradient(pts[:256])
-    np.testing.assert_allclose(
-        np.asarray(g_xla), np.asarray(g_ref), rtol=1e-5, atol=1e-6
-    )
+    g_ref = np.asarray(g_ref)
+    for impl in ("pallas", "pallas_window"):
+        sdf.set_scan_impl(impl)
+        _, g_imp = sdf.get_distance_and_gradient(pts[:256])
+        np.testing.assert_allclose(
+            np.asarray(g_imp), g_ref, rtol=1e-5, atol=1e-6
+        )
 
 
 def test_wide_scan_chunk_repack():
