@@ -140,6 +140,49 @@ def main():
         return wins.reshape(-1)[slot]
 
     @jax.jit
+    def s5p_scan_pallas(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        iota = jnp.arange(p.shape[0], dtype=jnp.int32)
+        lid_s, xs, ys, zs, order = jax.lax.sort(
+            (lid, p[:, 0], p[:, 1], p[:, 2], iota), num_keys=1
+        )
+        pts_s = jnp.stack([xs, ys, zs], axis=-1)
+        gid, lane = eo._assign_groups(lid_s, G=G)
+        gpts, gvalid, gleaf, slot = eo._scatter_groups(
+            pts_s, lid_s, gid, lane, G=G, NG=NG
+        )
+        from sdflib_tpu.ops.pallas_scan import exact_scan_grouped_pallas
+
+        wins = exact_scan_grouped_pallas(
+            ex.bucket_ids, ex.bucket_fields, gpts, gleaf,
+            ex.bucket_row0, ex.leaf_count,
+            GB=min(256, NG), H=eo._PALLAS_SLAB,
+        )
+        return wins.reshape(-1)[slot]
+
+    @jax.jit
+    def s5w_scan_window(p):
+        lid, _ = eo._exact_descent_grid(
+            ex._leaf_grid, p, box_min, box_size, grid_depth=gd
+        )
+        iota = jnp.arange(p.shape[0], dtype=jnp.int32)
+        lid_s, xs, ys, zs, order = jax.lax.sort(
+            (lid, p[:, 0], p[:, 1], p[:, 2], iota), num_keys=1
+        )
+        pts_s = jnp.stack([xs, ys, zs], axis=-1)
+        from sdflib_tpu.ops.pallas_scan import exact_scan_window_pallas
+
+        b0_pt = ex.bucket_row0[lid_s].astype(jnp.int32)
+        nc_pt = (-(-ex.leaf_count[lid_s] // CH)).astype(jnp.int32)
+        wins = exact_scan_window_pallas(
+            ex.bucket_ids, ex.bucket_fields, pts_s, b0_pt, nc_pt,
+            G=G, H=eo._PALLAS_SLAB,
+        )
+        return wins.reshape(-1)
+
+    @jax.jit
     def s6_finish(p):
         lid, _ = eo._exact_descent_grid(
             ex._leaf_grid, p, box_min, box_size, grid_depth=gd
@@ -187,6 +230,8 @@ def main():
     t3b = timeit(s3b_lax_sort, pts)
     t4 = timeit(s4_groups, pts)
     t5 = timeit(s5_scan, pts)
+    t5p = timeit(s5p_scan_pallas, pts)
+    t5w = timeit(s5w_scan_window, pts)
     t6 = timeit(s6_finish, pts)
     t7 = timeit(full, pts)
 
@@ -195,7 +240,9 @@ def main():
     print(f"+permute                 {t3*1e3:7.1f} ms  (+{(t3-t2)*1e3:.1f})")
     print(f"descent+lax.sort(5 ops)  {t3b*1e3:7.1f} ms  (vs permute path {t3*1e3:.1f})")
     print(f"+groups+scatter          {t4*1e3:7.1f} ms  (+{(t4-t3)*1e3:.1f})")
-    print(f"+scan+slotgather         {t5*1e3:7.1f} ms  (+{(t5-t4)*1e3:.1f})")
+    print(f"+scan+slotgather  (xla)  {t5*1e3:7.1f} ms  (+{(t5-t4)*1e3:.1f})")
+    print(f"+scan+slotgather (plls)  {t5p*1e3:7.1f} ms  (scan delta +{(t5p-t4)*1e3:.1f})")
+    print(f"sort+WINDOW scan (plls)  {t5w*1e3:7.1f} ms  (vs grouped pallas {t5p*1e3:.1f})")
     print(f"+finish(sorted)          {t6*1e3:7.1f} ms  (+{(t6-t5)*1e3:.1f})")
     print(f"full query (unsorted out){t7*1e3:7.1f} ms  (+{(t7-t6)*1e3:.1f})")
 
