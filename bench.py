@@ -88,12 +88,31 @@ def main():
     exact_build_s = time.perf_counter() - t0
     ne = 1 << 21
     epts = pts[:ne]
-    de = ex.get_distance(epts)
-    float(jnp.sum(de))
-    t0 = time.perf_counter()
-    de = ex.get_distance(epts)
-    float(jnp.sum(de))
-    exact_qps = ne / (time.perf_counter() - t0)
+    # Sweep the scan backends (ops/pallas_scan.py) and take the best as
+    # the headline; each is checksum-validated against the XLA scan.
+    impl_qps = {}
+    cks_ref = None
+    for impl in ("xla", "pallas", "pallas_window"):
+        try:
+            ex.set_scan_impl(impl)
+            de = ex.get_distance(epts)
+            cks = float(jnp.sum(de))
+            if cks_ref is None:
+                cks_ref = cks
+            elif abs(cks - cks_ref) > 1e-3 * max(1.0, abs(cks_ref)):
+                continue  # disagreeing backend: exclude from the headline
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                de = ex.get_distance(epts)
+                float(jnp.sum(de))
+                best = min(best, time.perf_counter() - t0)
+            impl_qps[impl] = ne / best
+        except Exception:
+            if impl == "xla":
+                raise
+    best_impl = max(impl_qps, key=impl_qps.get)
+    exact_qps = impl_qps[best_impl]
 
     # ---- real-mesh scale: >=100k-triangle build + query ----------------------
     # (BASELINE configs name Armadillo/Thingi10K-scale meshes; no assets in
@@ -102,14 +121,26 @@ def main():
     big_mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
     big_box = big_mesh.bounding_box.add_margin(0.14)
     t0 = time.perf_counter()
-    # depth 5 / start 3: per-level candidate matrices for 100k triangles
-    # exceed HBM at depth 6 on one v5e; the vertex-format bucket tier
-    # (36 B/slot) carries the ~83M list slots this shape produces.
-    big_ex = ExactOctreeSdf(
-        big_mesh, big_box, max_depth=5, start_depth=3,
-        min_triangles_per_node=32,
-    )
+    # Depth 7 via the streamed builder (node groups through fixed-size
+    # device buffers, exact_octree.py entry_budget); depth 5 only as a
+    # fallback if this chip cannot hold the result's bucket tables.
+    try:
+        big_depth = 7
+        big_ex = ExactOctreeSdf(
+            big_mesh, big_box, max_depth=7, start_depth=3,
+            min_triangles_per_node=32,
+        )
+    except Exception:
+        big_depth = 5
+        big_ex = ExactOctreeSdf(
+            big_mesh, big_box, max_depth=5, start_depth=3,
+            min_triangles_per_node=32,
+        )
     big_build_s = time.perf_counter() - t0
+    try:
+        big_ex.set_scan_impl(best_impl)
+    except ValueError:
+        pass
     nb = 1 << 20
     bpts = pts[:nb]
     db = big_ex.get_distance(bpts)
@@ -138,7 +169,10 @@ def main():
             "exact_build_s": exact_build_s,
             "num_triangles": int(mesh.indices.size // 3),
             "octree_words_u32": octree_words,
+            "exact_scan_impl": best_impl,
+            "exact_qps_by_impl": impl_qps,
             "big_mesh_triangles": big_tris,
+            "big_exact_depth": big_depth,
             "big_exact_build_s": big_build_s,
             "big_exact_queries_per_s": big_exact_qps,
             "big_mean_tris_per_leaf": big_mean_leaf,
