@@ -1,0 +1,73 @@
+"""Probe the streamed exact build at depth 7 on the ~100k-tri torus
+(VERDICT r2 item 2 harness): build wall time, splits, tris/leaf, and the
+2^20-point query rate. One JSON line. Timing fences are scalar readbacks
+(CLAUDE.md: block_until_ready does not wait through the axon tunnel).
+
+Usage: python scripts/bigmesh_probe.py [max_depth=7] [impl=xla]
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+
+    from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.utils.primitives import make_torus
+
+    depth = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
+    mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
+    box = mesh.bounding_box.add_margin(0.14)
+    t0 = time.perf_counter()
+    ex = ExactOctreeSdf(
+        mesh, box, max_depth=depth, start_depth=3,
+        min_triangles_per_node=32,
+    )
+    build_s = time.perf_counter() - t0
+    tpl = np.asarray(ex.build_stats["tris_per_leaf"], np.float64)
+    print(json.dumps({
+        "build_s": build_s,
+        "build_splits": ex.build_stats.get("build_splits"),
+        "num_leaves": int(tpl.size),
+        "mean_tris_per_leaf": float(tpl.mean()),
+        "median_tris_per_leaf": float(np.median(tpl)),
+        "max_tris_per_leaf": float(tpl.max()),
+        "bucket_rows": int(ex.bucket_ids.shape[0]),
+        "bucket_mb": float(
+            ex.bucket_ids.nbytes + ex.bucket_fields.nbytes
+        ) / 1e6,
+    }), flush=True)
+
+    try:
+        ex.set_scan_impl(impl)
+    except ValueError as e:
+        print(json.dumps({"impl_error": repr(e)}), flush=True)
+    n = 1 << 20
+    rng = np.random.default_rng(0)
+    lo = np.asarray(ex.box.min) + 1e-4
+    hi = np.asarray(ex.box.max) - 1e-4
+    pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+    d = ex.get_distance(pts)
+    cks = float(jnp.sum(d))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d = ex.get_distance(pts)
+        float(jnp.sum(d))
+        ts.append(time.perf_counter() - t0)
+    best = min(ts)
+    print(json.dumps({
+        "impl": impl,
+        "qps": n / best,
+        "best_ms": best * 1e3,
+        "all_ms": [round(t * 1e3, 1) for t in ts],
+        "checksum": cks,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
