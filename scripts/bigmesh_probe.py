@@ -3,9 +3,14 @@
 2^20-point query rate. One JSON line. Timing fences are scalar readbacks
 (CLAUDE.md: block_until_ready does not wait through the axon tunnel).
 
-Usage: python scripts/bigmesh_probe.py [max_depth=7] [impl=xla]
+Usage: python scripts/bigmesh_probe.py [max_depth=7] [impl=xla] [cache.npz]
+
+With a cache path, the built structure is saved there on first run and
+loaded on later runs (cold builds through the tunnel cost tens of
+minutes; the query sweep itself is minutes).
 """
 import json
+import os
 import sys
 import time
 
@@ -16,31 +21,39 @@ def main():
     import jax.numpy as jnp
 
     from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.sdf.sdf_function import SdfFunction
     from sdflib_tpu.utils.primitives import make_torus
 
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
-    mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
-    box = mesh.bounding_box.add_margin(0.14)
+    cache = sys.argv[3] if len(sys.argv) > 3 else None
     t0 = time.perf_counter()
-    ex = ExactOctreeSdf(
-        mesh, box, max_depth=depth, start_depth=3,
-        min_triangles_per_node=32,
-    )
-    build_s = time.perf_counter() - t0
-    tpl = np.asarray(ex.build_stats["tris_per_leaf"], np.float64)
-    print(json.dumps({
-        "build_s": build_s,
-        "build_splits": ex.build_stats.get("build_splits"),
-        "num_leaves": int(tpl.size),
-        "mean_tris_per_leaf": float(tpl.mean()),
-        "median_tris_per_leaf": float(np.median(tpl)),
-        "max_tris_per_leaf": float(tpl.max()),
-        "bucket_rows": int(ex.bucket_ids.shape[0]),
-        "bucket_mb": float(
-            ex.bucket_ids.nbytes + ex.bucket_fields.nbytes
-        ) / 1e6,
-    }), flush=True)
+    if cache and os.path.exists(cache):
+        ex = SdfFunction.load(cache)
+        print(f"load: {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
+        box = mesh.bounding_box.add_margin(0.14)
+        ex = ExactOctreeSdf(
+            mesh, box, max_depth=depth, start_depth=3,
+            min_triangles_per_node=32,
+        )
+        build_s = time.perf_counter() - t0
+        if cache:
+            ex.save(cache)
+        tpl = np.asarray(ex.build_stats["tris_per_leaf"], np.float64)
+        print(json.dumps({
+            "build_s": build_s,
+            "build_splits": ex.build_stats.get("build_splits"),
+            "num_leaves": int(tpl.size),
+            "mean_tris_per_leaf": float(tpl.mean()),
+            "median_tris_per_leaf": float(np.median(tpl)),
+            "max_tris_per_leaf": float(tpl.max()),
+            "bucket_rows": int(ex.bucket_ids.shape[0]),
+            "bucket_mb": float(
+                ex.bucket_ids.nbytes + ex.bucket_fields.nbytes
+            ) / 1e6,
+        }), flush=True)
 
     try:
         ex.set_scan_impl(impl)

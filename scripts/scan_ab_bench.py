@@ -6,9 +6,14 @@ points under the XLA grouped scan and the Pallas slab-streaming scan
 fences are scalar readbacks (block_until_ready does not wait through the
 axon tunnel, CLAUDE.md).
 
-Usage: python scripts/scan_ab_bench.py [n_points_log2=21]
+Usage: python scripts/scan_ab_bench.py [n_points_log2=21] [cache.npz]
+
+With a cache path, the built structure is saved there on first run and
+loaded on later runs (the cold build through the tunnel costs ~18 min;
+the A/B sweep itself is minutes).
 """
 import json
+import os
 import sys
 import time
 
@@ -19,16 +24,24 @@ def main():
     import jax.numpy as jnp
 
     from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
+    from sdflib_tpu.sdf.sdf_function import SdfFunction
     from sdflib_tpu.utils.primitives import make_torus
 
     n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
-    mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
-    box = mesh.bounding_box.add_margin(0.14)
+    cache = sys.argv[2] if len(sys.argv) > 2 else None
     t0 = time.perf_counter()
-    ex = ExactOctreeSdf(
-        mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
-    )
-    print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
+    if cache and os.path.exists(cache):
+        ex = SdfFunction.load(cache)
+        print(f"load: {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
+        box = mesh.bounding_box.add_margin(0.14)
+        ex = ExactOctreeSdf(
+            mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
+        )
+        print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
+        if cache:
+            ex.save(cache)
 
     rng = np.random.default_rng(0)
     lo = np.asarray(ex.box.min) + 1e-4
