@@ -8,13 +8,62 @@ sphere-traced rays/s, and build times in "extra" (each perf rate with its
 own labeled vs-target ratio).
 Baseline target: 1e9 exact queries/s on a v5p-8 (4 chips) => 2.5e8 per chip;
 vs_baseline = achieved per-chip exact rate / per-chip target.
+
+Structure: the headline stage (exact build-or-load + XLA-scan query sweep)
+runs first; every other stage is OPTIONAL and gated on remaining wall
+budget (SDFLIB_BENCH_BUDGET_S, default 420 s), so one slow stage can never
+starve the JSON line (round 3 lesson: rc=124, nothing reported). Built
+structures are cached under ~/.cache/sdflib_tpu/bench so repeat runs skip
+the d2h-bound builds entirely; a skipped or failed stage reports a
+"skipped"/"error" marker in extra instead of timing out the harness.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+BUDGET_S = float(os.environ.get("SDFLIB_BENCH_BUDGET_S", "420"))
+CACHE_DIR = os.path.expanduser("~/.cache/sdflib_tpu/bench")
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
+
+
+def _bench_mesh(big: bool = False):
+    # Deterministic benchmark mesh (no assets in the image): dense torus,
+    # ~9k triangles (100k+ for the big variant). (An icosphere is
+    # pathological for EXACT octrees: all triangles are equidistant from
+    # interior cells, so the true influence sets there contain the mesh.)
+    from sdflib_tpu.utils.primitives import make_torus
+
+    if big:
+        mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
+    else:
+        mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
+    return mesh, mesh.bounding_box.add_margin(0.14)
+
+
+def _load_or_build(path: str, build_fn, extra: dict, key: str):
+    """Returns (sdf, build_seconds_or_None); caches to ``path``."""
+    from sdflib_tpu.sdf.sdf_function import SdfFunction
+
+    full = os.path.join(CACHE_DIR, path)
+    if os.path.exists(full):
+        sdf = SdfFunction.load(full)
+        extra[f"{key}_cache"] = "hit"
+        return sdf, None
+    t0 = time.perf_counter()
+    sdf = build_fn()
+    dt = time.perf_counter() - t0
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    sdf.save(full)
+    extra[f"{key}_cache"] = "built"
+    return sdf, dt
 
 
 def main():
@@ -23,162 +72,199 @@ def main():
 
     from sdflib_tpu.sdf.octree import OctreeSdf
     from sdflib_tpu.sdf.exact_octree import ExactOctreeSdf
-    from sdflib_tpu.render.sphere_trace import trace_octree
-    from sdflib_tpu.utils.primitives import make_torus
 
-    # Deterministic benchmark mesh (no assets in the image): dense torus,
-    # ~9k triangles. (An icosphere is pathological for EXACT octrees: all
-    # triangles are equidistant from interior cells, so the true influence
-    # sets there contain the whole mesh.)
-    mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
-    box = mesh.bounding_box.add_margin(0.14)
+    extra: dict = {}
+    per_chip_target = 2.5e8       # 1e9 exact q/s on v5p-8 (4 chips)
+    rays_chip_target = 2.5e7      # 1e8 rays/s on v5p-8 (4 chips)
 
-    t0 = time.perf_counter()
-    oct_ = OctreeSdf(
-        mesh, box, max_depth=6, start_depth=2,
-        termination_threshold=1e-3, init_algorithm="no_continuity",
+    # ---- headline: exact octree queries/s (always runs first) --------------
+    mesh, box = _bench_mesh()
+    ex, built_s = _load_or_build(
+        "torus_exact_d6.npz",
+        lambda: ExactOctreeSdf(
+            mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
+        ),
+        extra, "exact",
     )
-    build_s = time.perf_counter() - t0
-    oct_.build_query_grid()  # O(1)-descent acceleration
+    if built_s is not None:
+        extra["exact_build_s"] = built_s
 
-    n = 1 << 22  # 4M query points
+    ne = 1 << 21
     rng = np.random.default_rng(0)
-    lo = np.asarray(oct_.box.min) + 1e-4
-    hi = np.asarray(oct_.box.max) - 1e-4
-    pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
+    lo = np.asarray(box.min) + 1e-4
+    hi = np.asarray(box.max) - 1e-4
+    epts = jnp.asarray(rng.uniform(lo, hi, (ne, 3)).astype(np.float32))
 
-    # ---- approximate octree queries/s --------------------------------------
     # timing fences are scalar readbacks: block_until_ready can return
     # before device completion through the remote transport (PERF.md)
-    d = oct_.get_distance(pts)
-    float(jnp.sum(d))
-    iters = 8
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        d = oct_.get_distance(pts)
-    float(jnp.sum(d))
-    qps = n * iters / (time.perf_counter() - t0)
-
-    # ---- sphere-traced rays/s ------------------------------------------------
-    # image-shaped origins: the tracer tiles 2D beams (beam prepass)
-    R = 1024
-    u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
-    gu, gv = np.meshgrid(u, u)
-    origins = np.stack(
-        [gu, gv, np.full_like(gu, -1.2)], -1
-    ).astype(np.float32)
-    dirs = np.broadcast_to(
-        np.array([0.0, 0.0, 1.0], np.float32), origins.shape
-    ).copy()
-    res = trace_octree(oct_, origins, dirs, max_iters=1024)
-    float(jnp.sum(res.depth))
-    t0 = time.perf_counter()
-    res = trace_octree(oct_, origins, dirs, max_iters=1024)
-    float(jnp.sum(res.depth))
-    rays_per_s = R * R / (time.perf_counter() - t0)
-
-    # ---- exact octree queries/s ----------------------------------------------
-    del res  # free trace buffers before the exact build
-    octree_words = int(oct_.octree_data.shape[0])
-    del oct_  # free approx structures (grid + tree) before the exact build
-    t0 = time.perf_counter()
-    ex = ExactOctreeSdf(
-        mesh, box, max_depth=6, start_depth=2, min_triangles_per_node=32
-    )
-    exact_build_s = time.perf_counter() - t0
-    ne = 1 << 21
-    epts = pts[:ne]
-    # Sweep the scan backends (ops/pallas_scan.py) and take the best as
-    # the headline; each is checksum-validated against the XLA scan.
     impl_qps = {}
-    cks_ref = None
+    de = ex.get_distance(epts)
+    cks_ref = float(jnp.sum(de))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        de = ex.get_distance(epts)
+        float(jnp.sum(de))
+        best = min(best, time.perf_counter() - t0)
+    impl_qps[getattr(ex, "scan_impl", "xla")] = ne / best
+    # Alternate scan backends (ops/pallas_scan.py): optional, gated — a
+    # fresh Mosaic compile through the tunnel costs real wall time.
     for impl in ("xla", "pallas", "pallas_window"):
+        if impl in impl_qps:
+            continue
+        if _remaining() < 120:
+            extra[f"skipped_impl_{impl}"] = "budget"
+            continue
         try:
             ex.set_scan_impl(impl)
             de = ex.get_distance(epts)
             cks = float(jnp.sum(de))
-            if cks_ref is None:
-                cks_ref = cks
-            elif abs(cks - cks_ref) > 1e-3 * max(1.0, abs(cks_ref)):
+            if abs(cks - cks_ref) > 1e-3 * max(1.0, abs(cks_ref)):
+                extra[f"impl_{impl}_checksum_mismatch"] = cks
                 continue  # disagreeing backend: exclude from the headline
             best = np.inf
-            for _ in range(3):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 de = ex.get_distance(epts)
                 float(jnp.sum(de))
                 best = min(best, time.perf_counter() - t0)
             impl_qps[impl] = ne / best
-        except Exception:
-            if impl == "xla":
-                raise
+        except Exception as e:
+            extra[f"impl_{impl}_error"] = repr(e)[:200]
     best_impl = max(impl_qps, key=impl_qps.get)
     exact_qps = impl_qps[best_impl]
-
-    # ---- real-mesh scale: >=100k-triangle build + query ----------------------
-    # (BASELINE configs name Armadillo/Thingi10K-scale meshes; no assets in
-    # the image, so a dense torus at 100k+ triangles stands in.)
+    extra["exact_scan_impl"] = best_impl
+    extra["exact_qps_by_impl"] = impl_qps
+    extra["num_triangles"] = int(mesh.indices.size // 3)
     del de, ex
-    big_mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)
-    big_box = big_mesh.bounding_box.add_margin(0.14)
-    t0 = time.perf_counter()
-    # Depth 7 via the streamed builder (node groups through fixed-size
-    # device buffers, exact_octree.py entry_budget); depth 5 only as a
-    # fallback if this chip cannot hold the result's bucket tables.
-    try:
-        big_depth = 7
-        big_ex = ExactOctreeSdf(
-            big_mesh, big_box, max_depth=7, start_depth=3,
-            min_triangles_per_node=32,
-        )
-    except Exception:
-        big_depth = 5
-        big_ex = ExactOctreeSdf(
-            big_mesh, big_box, max_depth=5, start_depth=3,
-            min_triangles_per_node=32,
-        )
-    big_build_s = time.perf_counter() - t0
-    try:
-        big_ex.set_scan_impl(best_impl)
-    except ValueError:
-        pass
-    nb = 1 << 20
-    bpts = pts[:nb]
-    db = big_ex.get_distance(bpts)
-    float(jnp.sum(db))
-    t0 = time.perf_counter()
-    db = big_ex.get_distance(bpts)
-    float(jnp.sum(db))
-    big_exact_qps = nb / (time.perf_counter() - t0)
-    big_tris = int(big_mesh.indices.size // 3)
-    big_mean_leaf = float(np.mean(big_ex.build_stats["tris_per_leaf"]))
 
-    per_chip_target = 2.5e8       # 1e9 exact q/s on v5p-8 (4 chips)
-    rays_chip_target = 2.5e7      # 1e8 rays/s on v5p-8 (4 chips)
+    # ---- approximate octree queries/s (optional) ----------------------------
+    if _remaining() > 90:
+        try:
+            oct_, built_s = _load_or_build(
+                "torus_approx_d6.npz",
+                lambda: OctreeSdf(
+                    mesh, box, max_depth=6, start_depth=2,
+                    termination_threshold=1e-3,
+                    init_algorithm="no_continuity",
+                ),
+                extra, "approx",
+            )
+            if built_s is not None:
+                extra["build_s"] = built_s
+            oct_.build_query_grid()  # O(1)-descent acceleration
+            na = 1 << 22
+            pts = jnp.asarray(
+                rng.uniform(lo, hi, (na, 3)).astype(np.float32)
+            )
+            d = oct_.get_distance(pts)
+            float(jnp.sum(d))
+            iters = 8
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                d = oct_.get_distance(pts)
+            float(jnp.sum(d))
+            qps = na * iters / (time.perf_counter() - t0)
+            extra["approx_octree_queries_per_s"] = qps
+            extra["approx_vs_target"] = qps / per_chip_target
+            extra["octree_words_u32"] = int(oct_.octree_data.shape[0])
+            del d, pts
+        except Exception as e:
+            extra["approx_error"] = repr(e)[:200]
+            oct_ = None
+    else:
+        extra["skipped_approx"] = "budget"
+        oct_ = None
+
+    # ---- sphere-traced rays/s (optional) ------------------------------------
+    if oct_ is not None and _remaining() > 60:
+        try:
+            from sdflib_tpu.render.sphere_trace import trace_octree
+
+            # image-shaped origins: the tracer tiles 2D beams (beam prepass)
+            R = 1024
+            u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
+            gu, gv = np.meshgrid(u, u)
+            origins = np.stack(
+                [gu, gv, np.full_like(gu, -1.2)], -1
+            ).astype(np.float32)
+            dirs = np.broadcast_to(
+                np.array([0.0, 0.0, 1.0], np.float32), origins.shape
+            ).copy()
+            res = trace_octree(oct_, origins, dirs, max_iters=1024)
+            float(jnp.sum(res.depth))
+            t0 = time.perf_counter()
+            res = trace_octree(oct_, origins, dirs, max_iters=1024)
+            float(jnp.sum(res.depth))
+            rays_per_s = R * R / (time.perf_counter() - t0)
+            extra["sphere_trace_rays_per_s"] = rays_per_s
+            extra["rays_vs_target"] = rays_per_s / rays_chip_target
+            del res
+        except Exception as e:
+            extra["trace_error"] = repr(e)[:200]
+    elif oct_ is not None:
+        extra["skipped_trace"] = "budget"
+    del oct_
+
+    # ---- real-mesh scale: >=100k-triangle build + query (optional) ----------
+    # (BASELINE configs name Armadillo/Thingi10K-scale meshes; no assets in
+    # the image, so a dense torus at 100k+ triangles stands in.) A cold
+    # depth-7 build costs tens of minutes through the tunnel: only attempt
+    # it when the disk cache is warm or the budget clearly covers it.
+    big_cached = os.path.exists(os.path.join(CACHE_DIR, "torus100k_exact_d7.npz"))
+    if (big_cached and _remaining() > 60) or _remaining() > 1800:
+        try:
+            big_mesh, big_box = _bench_mesh(big=True)
+            big_ex, built_s = _load_or_build(
+                "torus100k_exact_d7.npz",
+                lambda: ExactOctreeSdf(
+                    big_mesh, big_box, max_depth=7, start_depth=3,
+                    min_triangles_per_node=32,
+                ),
+                extra, "big_exact",
+            )
+            if built_s is not None:
+                extra["big_exact_build_s"] = built_s
+            try:
+                big_ex.set_scan_impl(best_impl)
+            except ValueError:
+                pass
+            nb = 1 << 20
+            bpts = jnp.asarray(
+                rng.uniform(
+                    np.asarray(big_box.min) + 1e-4,
+                    np.asarray(big_box.max) - 1e-4,
+                    (nb, 3),
+                ).astype(np.float32)
+            )
+            db = big_ex.get_distance(bpts)
+            float(jnp.sum(db))
+            t0 = time.perf_counter()
+            db = big_ex.get_distance(bpts)
+            float(jnp.sum(db))
+            extra["big_exact_queries_per_s"] = nb / (time.perf_counter() - t0)
+            extra["big_mesh_triangles"] = int(big_mesh.indices.size // 3)
+            extra["big_exact_depth"] = int(big_ex.max_depth)
+            tpl = big_ex.build_stats.get("tris_per_leaf")
+            if tpl is not None:
+                extra["big_mean_tris_per_leaf"] = float(np.mean(tpl))
+            del db, big_ex
+        except Exception as e:
+            extra["big_exact_error"] = repr(e)[:200]
+    else:
+        extra["skipped_big_exact"] = (
+            "budget" if big_cached else "no cache + budget"
+        )
+
     dev = jax.devices()[0]
+    extra["device"] = str(getattr(dev, "device_kind", dev))
+    extra["bench_wall_s"] = round(time.perf_counter() - _T0, 1)
     print(json.dumps({
         "metric": "exact_octree_queries_per_s",
         "value": exact_qps,
         "unit": "queries/s/chip",
         "vs_baseline": exact_qps / per_chip_target,
-        "extra": {
-            "approx_octree_queries_per_s": qps,
-            "approx_vs_target": qps / per_chip_target,
-            "sphere_trace_rays_per_s": rays_per_s,
-            "rays_vs_target": rays_per_s / rays_chip_target,
-            "build_s": build_s,
-            "exact_build_s": exact_build_s,
-            "num_triangles": int(mesh.indices.size // 3),
-            "octree_words_u32": octree_words,
-            "exact_scan_impl": best_impl,
-            "exact_qps_by_impl": impl_qps,
-            "big_mesh_triangles": big_tris,
-            "big_exact_depth": big_depth,
-            "big_exact_build_s": big_build_s,
-            "big_exact_queries_per_s": big_exact_qps,
-            "big_mean_tris_per_leaf": big_mean_leaf,
-            "device": str(getattr(dev, "device_kind", dev)),
-            "query_points": n,
-        },
+        "extra": extra,
     }))
 
 

@@ -27,9 +27,16 @@ def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
     cache = sys.argv[3] if len(sys.argv) > 3 else None
+    if cache and not cache.endswith(".npz"):
+        cache += ".npz"  # np.savez appends it; keep the exists() check honest
     t0 = time.perf_counter()
     if cache and os.path.exists(cache):
         ex = SdfFunction.load(cache)
+        if int(ex.max_depth) != depth:
+            raise SystemExit(
+                f"cache {cache} was built at depth {int(ex.max_depth)}, "
+                f"not the requested {depth}; pass a different cache path"
+            )
         print(f"load: {time.perf_counter() - t0:.1f}s", flush=True)
     else:
         mesh = make_torus(R=0.3, r=0.12, nu=420, nv=120)

@@ -29,6 +29,8 @@ def main():
 
     n = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
     cache = sys.argv[2] if len(sys.argv) > 2 else None
+    if cache and not cache.endswith(".npz"):
+        cache += ".npz"  # np.savez appends it; keep the exists() check honest
     t0 = time.perf_counter()
     if cache and os.path.exists(cache):
         ex = SdfFunction.load(cache)
