@@ -224,16 +224,29 @@ def main():
 
     full = partial(ex.get_distance)
 
-    t1 = timeit(s1_descent, pts)
-    t2 = timeit(s2_argsort, pts)
-    t3 = timeit(s3_permute, pts)
-    t3b = timeit(s3b_lax_sort, pts)
-    t4 = timeit(s4_groups, pts)
-    t5 = timeit(s5_scan, pts)
-    t5p = timeit(s5p_scan_pallas, pts)
-    t5w = timeit(s5w_scan_window, pts)
-    t6 = timeit(s6_finish, pts)
-    t7 = timeit(full, pts)
+    def try_timeit(name, fn, *args):
+        try:
+            t = timeit(fn, *args)
+            print(f"  [{name}: {t*1e3:.1f} ms]", flush=True)
+            return t
+        except Exception as e:
+            print(f"  [{name} failed: {repr(e)[:160]}]", flush=True)
+            return float("nan")
+
+    with_pallas = os.environ.get("SDFLIB_STAGES_PALLAS", "1") != "0"
+    t1 = try_timeit("descent", s1_descent, pts)
+    t2 = try_timeit("argsort", s2_argsort, pts)
+    t3 = try_timeit("permute", s3_permute, pts)
+    t3b = try_timeit("lax_sort", s3b_lax_sort, pts)
+    t4 = try_timeit("groups", s4_groups, pts)
+    t5 = try_timeit("scan", s5_scan, pts)
+    if with_pallas:
+        t5p = try_timeit("scan_pallas", s5p_scan_pallas, pts)
+        t5w = try_timeit("scan_window", s5w_scan_window, pts)
+    else:
+        t5p = t5w = float("nan")
+    t6 = try_timeit("finish", s6_finish, pts)
+    t7 = try_timeit("full", full, pts)
 
     print(f"descent                  {t1*1e3:7.1f} ms")
     print(f"+argsort                 {t2*1e3:7.1f} ms  (+{(t2-t1)*1e3:.1f})")

@@ -1,8 +1,12 @@
-"""Native C ABI shim: engine-side octree queries without Python/JAX.
+"""Native C ABI shim: engine-side SDF queries without Python/JAX.
 
 ctypes wrapper over the C++ shared library (sdflib_c.cpp), the TPU
 framework's equivalent of the reference's SdfLibUnity FFI surface
-(reference: src/tools/SdfLibUnity/SdfExportFunc.h:16-59). The library is
+(reference: src/tools/SdfLibUnity/SdfExportFunc.h:16-59). Loads and
+evaluates all three .bin formats (GRID / OCTREE / EXACT_OCTREE) with the
+format-generic getDistance dispatch the reference exposes. Building
+structures from a mesh stays on the Python/TPU side (the builders are
+JAX programs); build there, serialize, consume anywhere. The library is
 compiled on demand with g++ and cached next to the source.
 """
 from __future__ import annotations
@@ -14,7 +18,10 @@ import threading
 
 import numpy as np
 
-__all__ = ["NativeOctreeSdf", "build_native_library", "native_available"]
+__all__ = [
+    "NativeSdf", "NativeOctreeSdf", "build_native_library",
+    "native_available",
+]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "sdflib_c.cpp")
@@ -65,6 +72,8 @@ def _load_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_float,
             ctypes.c_int32, ctypes.c_uint32, ctypes.c_float, ctypes.c_float,
         ]
+        lib.sdflib_format.restype = ctypes.c_int32
+        lib.sdflib_format.argtypes = [ctypes.c_void_p]
         lib.sdflib_save.restype = ctypes.c_int
         lib.sdflib_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.sdflib_delete.argtypes = [ctypes.c_void_p]
@@ -96,8 +105,8 @@ def _load_lib():
     return _LIB
 
 
-class NativeOctreeSdf:
-    """Handle to a C++-evaluated octree SDF (tricubic leaves)."""
+class NativeSdf:
+    """Handle to a C++-evaluated SDF (GRID / OCTREE / EXACT_OCTREE)."""
 
     def __init__(self, handle: int):
         if not handle:
@@ -108,15 +117,22 @@ class NativeOctreeSdf:
     # -- constructors ----------------------------------------------------------
 
     @classmethod
-    def load(cls, path: str) -> "NativeOctreeSdf":
-        """Load a reference-format .bin container (OCTREE format)."""
+    def load(cls, path: str) -> "NativeSdf":
+        """Load a reference-format .bin container (any format)."""
         h = _load_lib().sdflib_load(path.encode())
         if not h:
-            raise IOError(f"failed to load octree .bin: {path}")
+            raise IOError(f"failed to load .bin: {path}")
         return cls(h)
 
+    @property
+    def format(self) -> str:
+        """SdfFormat name (SdfFunction.h:16-22)."""
+        return {0: "grid", 1: "octree", 2: "exact_octree"}[
+            int(self._lib.sdflib_format(self._h))
+        ]
+
     @classmethod
-    def from_octree(cls, octree) -> "NativeOctreeSdf":
+    def from_octree(cls, octree) -> "NativeSdf":
         """Wrap an in-memory OctreeSdf (tricubic) for native evaluation."""
         if octree.interpolation != "tricubic":
             raise ValueError("native shim evaluates tricubic octrees only")
@@ -161,6 +177,8 @@ class NativeOctreeSdf:
     def octree_data(self) -> np.ndarray:
         n = self._lib.sdflib_octree_data_size(self._h)
         ptr = self._lib.sdflib_octree_data(self._h)
+        if not ptr or n == 0:
+            raise ValueError("octree_data is only exposed for OCTREE handles")
         return np.ctypeslib.as_array(ptr, (n,)).copy()
 
     @property
@@ -191,3 +209,7 @@ class NativeOctreeSdf:
             self.close()
         except Exception:
             pass
+
+
+# Backwards-compatible name (the shim originally evaluated OCTREE only).
+NativeOctreeSdf = NativeSdf
