@@ -95,6 +95,27 @@ def main():
     hi = np.asarray(box.max) - 1e-4
     epts = jnp.asarray(rng.uniform(lo, hi, (ne, 3)).astype(np.float32))
 
+    # HARDWARE oracle check: the pytest suite runs on the CPU mesh only,
+    # so a TPU-only wrongness (e.g. the round-2 denormal leaf-id carrier,
+    # flushed to zero on v5e but bit-exact on CPU) is invisible to it.
+    # 10k points against brute force cost ~1 s and make the headline
+    # number un-fakeable.
+    from sdflib_tpu.sdf.real import RealSdf
+
+    oracle_pts = jnp.asarray(
+        np.random.default_rng(7).uniform(
+            np.asarray(box.min) + 1e-4, np.asarray(box.max) - 1e-4,
+            (10000, 3),
+        ).astype(np.float32)
+    )
+    d_oracle = RealSdf(mesh).get_distance(oracle_pts)
+    err = float(
+        jnp.max(jnp.abs(ex.get_distance(oracle_pts) - d_oracle))
+    )
+    extra["exact_oracle_max_err"] = err
+    if err > 1e-4:
+        extra["exact_oracle_FAILED"] = True
+
     # timing fences are scalar readbacks: block_until_ready can return
     # before device completion through the remote transport (PERF.md)
     impl_qps = {}
@@ -107,9 +128,10 @@ def main():
         float(jnp.sum(de))
         best = min(best, time.perf_counter() - t0)
     impl_qps[getattr(ex, "scan_impl", "xla")] = ne / best
-    # Alternate scan backends (ops/pallas_scan.py): optional, gated — a
-    # fresh Mosaic compile through the tunnel costs real wall time.
-    for impl in ("xla", "pallas", "pallas_window"):
+    # Alternate scan backends: optional, gated — a fresh compile through
+    # the tunnel costs real wall time (and the Mosaic backends fail to
+    # compile on v5e — recorded as impl errors, see ops/pallas_scan.py).
+    for impl in ("xla", "xla_window", "pallas", "pallas_window"):
         if impl in impl_qps:
             continue
         if _remaining() < 120:

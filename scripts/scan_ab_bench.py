@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
@@ -50,17 +52,31 @@ def main():
     hi = np.asarray(ex.box.max) - 1e-4
     pts = jnp.asarray(rng.uniform(lo, hi, (n, 3)).astype(np.float32))
 
+    # impl sweep: "xla_window@G" entries set the window width. The Pallas
+    # backends are opt-in via SDFLIB_AB_PALLAS=1 (they do not compile
+    # under Mosaic on v5e — dynamic single-lane slices; kept for study).
+    impls = ["xla", "xla_window@4", "xla_window@8", "xla_window@16",
+             "xla_window@32"]
+    if os.environ.get("SDFLIB_AB_PALLAS", "0") == "1":
+        impls += ["pallas", "pallas_window"]
+    chunks = (64, 128)
+    if len(sys.argv) > 3:
+        chunks = tuple(int(c) for c in sys.argv[3].split(","))
+
     results = {}
-    for chunk in (64, 128):
+    for chunk in chunks:
         try:
             ex.set_scan_chunk(chunk)
         except ValueError as e:
             print(json.dumps({"chunk": chunk, "error": repr(e)}), flush=True)
             continue
-        for impl in ("xla", "pallas", "pallas_window"):
-            key = f"{impl}-{chunk}"
+        for impl_spec in impls:
+            impl, _, width = impl_spec.partition("@")
+            key = f"{impl_spec}-{chunk}"
             try:
                 ex.set_scan_impl(impl)
+                if width:
+                    ex.window_width = int(width)
                 d = ex.get_distance(pts)
                 cks = float(jnp.sum(d))
                 ts = []

@@ -13,6 +13,11 @@ import json
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
@@ -24,15 +29,28 @@ def main():
     from sdflib_tpu.utils.primitives import make_torus
 
     R = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
-    box = mesh.bounding_box.add_margin(0.14)
-    t0 = time.perf_counter()
-    oct_ = OctreeSdf(
-        mesh, box, max_depth=6, start_depth=2,
-        termination_threshold=1e-3, init_algorithm="no_continuity",
+    cache = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.expanduser("~/.cache/sdflib_tpu/bench/torus_approx_d6.npz")
     )
+    t0 = time.perf_counter()
+    if cache and os.path.exists(cache):
+        from sdflib_tpu.sdf.sdf_function import SdfFunction
+
+        oct_ = SdfFunction.load(cache)
+        print(f"load: {time.perf_counter() - t0:.1f}s", flush=True)
+    else:
+        mesh = make_torus(R=0.3, r=0.12, nu=96, nv=48)
+        box = mesh.bounding_box.add_margin(0.14)
+        oct_ = OctreeSdf(
+            mesh, box, max_depth=6, start_depth=2,
+            termination_threshold=1e-3, init_algorithm="no_continuity",
+        )
+        print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
+        if cache:
+            oct_.save(cache)
     oct_.build_query_grid()
-    print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
 
     u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
     gu, gv = np.meshgrid(u, u)

@@ -276,10 +276,10 @@ def exact_scan_grouped_pallas(
 
     bucket0 = bucket_row0[gleaf].astype(jnp.int32)
     nchunk = -(-leaf_count[gleaf] // CH)
-    # Empty padding groups carry gleaf = bitcast(+inf) = 2139095040 (the
-    # scatter sentinel), so the gathers above CLAMP to the LAST leaf's
-    # values — harmless only because has_pts zeroes their chunk counts
-    # below, which also keeps block row spans tight. Do not drop the mask.
+    # Empty padding groups carry gleaf = 0 (the scatter decode clips the
+    # +inf sentinel), so the gathers above read leaf 0's values —
+    # harmless only because has_pts zeroes their chunk counts below,
+    # which also keeps block row spans tight. Do not drop the mask.
     has_pts = jnp.any(jnp.isfinite(gpts[..., 0]), axis=1)
     nchunk = jnp.where(has_pts, nchunk, 0).astype(jnp.int32)
 

@@ -494,10 +494,19 @@ def _assign_groups(lid_s, *, G: int):
     return gid, rank % G
 
 
+# Exact int-in-float carrier for the payload scatter: 2^23 + id is exactly
+# representable for id < 2^23, and ALWAYS a normal float. A bitcast carrier
+# is NOT safe: leaf ids < 2^23 bitcast to DENORMAL float32s, and the TPU
+# flushes denormals to zero wherever the payload passes through a float op
+# — measured on v5e as gleaf==0 for every group (every distance wrong)
+# while the same program is bit-exact on CPU.
+_FLOAT_ID_BIAS = 8388608.0  # 2^23
+
+
 @partial(jax.jit, static_argnames=("G", "NG"))
 def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
     """Scatter leaf-sorted points into (NG, G) group slots with ONE fused
-    (P, 4) payload scatter: [x, y, z, leaf-id bitcast]. Empty slots keep
+    (P, 4) payload scatter: [x, y, z, 2^23 + leaf-id]. Empty slots keep
     an +inf sentinel, from which occupancy derives elementwise, and every
     non-empty group's lane 0 is occupied by construction (rank % G == 0
     opens the group), so the group's leaf id reads from lane 0. Each
@@ -507,7 +516,7 @@ def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
     payload = jnp.concatenate(
         [
             pts_s,
-            jax.lax.bitcast_convert_type(lid_s, jnp.float32)[:, None],
+            _FLOAT_ID_BIAS + lid_s.astype(pts_s.dtype)[:, None],
         ],
         axis=1,
     )
@@ -517,8 +526,12 @@ def _scatter_groups(pts_s, lid_s, gid, lane, *, G: int, NG: int):
     buf = buf.reshape(NG, G, 4)
     gpts = buf[..., :3]
     gvalid = buf[..., 0] < jnp.inf
+    lane0 = buf[:, 0, 3]
     gleaf = jnp.clip(
-        jax.lax.bitcast_convert_type(buf[:, 0, 3], jnp.int32), 0, None
+        jnp.where(jnp.isfinite(lane0), lane0 - _FLOAT_ID_BIAS, 0.0)
+        .astype(jnp.int32),
+        0,
+        None,
     )
     return gpts, gvalid, gleaf, slot
 
@@ -639,12 +652,116 @@ def _exact_scan_grouped(
     return jax.lax.cond(jnp.any(gvalid), run, skip, None)
 
 
+def _exact_scan_window_xla(
+    bucket_ids,        # (NB_rows, CH) int32 triangle ids, -1 padded
+    bucket_fields,     # (NB_rows, nf*CH) fp32 denormalized fields
+    wpts,              # (NBK, G, 3) fixed windows of the leaf-sorted points
+    wb0,               # (NBK, G) int32 per-POINT first bucket row
+    wnc,               # (NBK, G) int32 per-POINT row count
+    *,
+    max_iters: int,
+    prologue: int = 0,
+):
+    """Window scan in pure XLA (the pallas_window idea without Mosaic):
+    fixed G-point windows of the sorted order are plain RESHAPES — no
+    prefix-sum group assembly, no payload scatter, no winner-slot gather
+    (measured +72 ms of the 2M-point query on v5e, PERF.md §2). A window
+    straddling several consecutive leaves scans their UNION row span
+    (contiguous: the bucket table is CSR in leaf order) and each point
+    masks rows outside its own [wb0, wb0+wnc) — boundary-crossing eval
+    waste in exchange for deleting whole latency-bound batch passes.
+
+    The loop row pointer GAP-JUMPS: after each chunk it advances to the
+    smallest row some lane still needs (a G-lane min, cheap), so rows of
+    non-member leaves that merely lie BETWEEN scattered member leaves in
+    the bucket table are never fetched. That makes ``G * max_chunks`` a
+    true iteration bound (every visited row is needed by >= 1 lane, each
+    lane needs <= max_chunks rows); for dense batches where member spans
+    are contiguous the jump degenerates to row+1. ``prologue`` rows run
+    carry-independently (lo + i), pipelining across chunks exactly like
+    the grouped scan's fixed-trip prologue.
+
+    No distance-sorted early-exit bound: per-point row bounds are already
+    exact, and the bound's extra leaf-center gather + sqrt per chunk costs
+    more than the ~0.5 chunks/point it saves (PERF.md §2).
+
+    Reference role: ExactOctreeSdf.cpp:105-175 (the per-leaf candidate
+    loop)."""
+    NBK, G, _ = wpts.shape
+    CH = bucket_ids.shape[1]
+    nf = bucket_fields.shape[1] // CH
+    num_rows = bucket_ids.shape[0]
+
+    live = wnc > 0
+    big = jnp.int32(2**30)
+    lo = jnp.min(jnp.where(live, wb0, big), axis=1)       # (NBK,)
+    hi = jnp.max(jnp.where(live, wb0 + wnc, 0), axis=1)   # (NBK,)
+    wend = jnp.where(live, wb0 + wnc, 0)
+
+    px, py, pz = wpts[..., 0:1], wpts[..., 1:2], wpts[..., 2:3]
+
+    def chunk_body(row, best, best_id):
+        r = jnp.clip(row, 0, num_rows - 1)
+        tri_ids = bucket_ids[r]                           # (NBK, CH)
+        fields = bucket_fields[r]                         # (NBK, nf*CH)
+        # 2D column slices, NOT a (NBK, nf, CH) reshape (relayout copy)
+        field_fn = lambda k: fields[:, None, k * CH : (k + 1) * CH]
+        sqd = _bucket_sqdist(px, py, pz, field_fn, nf)    # (NBK, G, CH)
+        pvalid = (row[:, None] >= wb0) & (row[:, None] < wend)
+        valid = (tri_ids >= 0)[:, None, :] & pvalid[:, :, None]
+        sqd = jnp.where(valid, sqd, jnp.inf)
+        local = jnp.min(sqd, axis=-1)
+        amin = jnp.argmin(sqd, axis=-1)
+        oh = (
+            jax.lax.broadcasted_iota(jnp.int32, sqd.shape, 2)
+            == amin[..., None]
+        )
+        local_id = jnp.sum(jnp.where(oh, tri_ids[:, None, :], 0), axis=-1)
+        take = local < best
+        return (
+            jnp.where(take, local, best),
+            jnp.where(take, local_id, best_id),
+        )
+
+    def next_row(row):
+        """Smallest row > `row` that some lane still needs (big if none)."""
+        cand = jnp.where(
+            live & (wb0 > row[:, None]),
+            wb0,
+            jnp.where(row[:, None] + 1 < wend, row[:, None] + 1, big),
+        )
+        return jnp.min(cand, axis=1)
+
+    def cond(carry):
+        i, row, _, _ = carry
+        return (i < max_iters) & jnp.any(row < hi)
+
+    def step(carry):
+        i, row, best, best_id = carry
+        best, best_id = chunk_body(row, best, best_id)
+        return i + 1, next_row(row), best, best_id
+
+    best = jnp.full((NBK, G), jnp.inf, wpts.dtype)
+    best_id = jnp.zeros((NBK, G), jnp.int32)
+    pro = min(prologue, max_iters)
+    for i in range(pro):
+        # carry-INDEPENDENT row index: pipelines across chunks. Gap rows
+        # inside [lo, lo+pro) are wasted-but-masked work; the jump scan
+        # resumes from the first still-needed row past the prologue.
+        best, best_id = chunk_body(lo + i, best, best_id)
+    _, _, _, win_ids = jax.lax.while_loop(
+        cond, step, (jnp.int32(pro), next_row(lo + pro - 1) if pro else lo,
+                     best, best_id)
+    )
+    return win_ids
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "use_grid", "grid_depth", "levels", "start_grid_size",
         "G", "NG", "NB", "max_chunks", "early_exit", "with_gradient",
-        "prologue", "scan_impl", "pallas_interpret",
+        "prologue", "scan_impl", "pallas_interpret", "pack_shift",
     ),
 )
 def _exact_query_fused(
@@ -656,6 +773,7 @@ def _exact_query_fused(
     bucket_ids,
     bucket_fields,
     bucket_cmin,
+    leaf_scan_packed,  # (L,) int32 (row0 << pack_shift) | nchunks
     tris: TriangleDataSoA,
     pts,               # (P, 3) padded batch
     box_min,
@@ -674,6 +792,7 @@ def _exact_query_fused(
     prologue: int = 0,
     scan_impl: str = "xla",
     pallas_interpret: bool = False,
+    pack_shift: int = 0,
 ):
     """The ENTIRE exact query as ONE compiled program: descent -> leaf
     sort -> group assignment/scatter -> length-ordered block scans
@@ -710,7 +829,34 @@ def _exact_query_fused(
 
     # -- scans ---------------------------------------------------------------
     iters = jnp.int32(0)
-    if scan_impl == "pallas_window":
+    if scan_impl == "xla_window":
+        # Fixed G-point windows of the sorted order (see
+        # _exact_scan_window_xla): the per-point row bounds come from ONE
+        # packed element gather instead of two, and windows/blocks are
+        # reshapes — no group assembly at all.
+        pk = leaf_scan_packed[lid_s]
+        b0_pt = (pk >> pack_shift).astype(jnp.int32)
+        nc_pt = (pk & ((1 << pack_shift) - 1)).astype(jnp.int32)
+        NW = pts_s.shape[0] // G
+        nblocks = max(1, NW // NB)
+
+        def wblk(args):
+            bp, bb0, bnc = args
+            return _exact_scan_window_xla(
+                bucket_ids, bucket_fields, bp, bb0, bnc,
+                max_iters=G * max_chunks, prologue=prologue,
+            )
+
+        wins = jax.lax.map(
+            wblk,
+            (
+                pts_s.reshape(nblocks, -1, G, 3),
+                b0_pt.reshape(nblocks, -1, G),
+                nc_pt.reshape(nblocks, -1, G),
+            ),
+        )
+        win_s = wins.reshape(-1)
+    elif scan_impl == "pallas_window":
         # FIXED G-point windows of the sorted order: no prefix-sum group
         # assembly, no payload scatter, no winner unsort indirection —
         # windows are reshapes and the kernel masks rows per point
@@ -1461,9 +1607,9 @@ class ExactOctreeSdf(SdfFunction):
         self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
         self.scan_chunk = _LEAF_CHUNK
-        self.scan_impl = "xla"
         self._group_width_cache = {}
         self._make_buckets()
+        self._default_scan_impl()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
             self.build_query_grid()
@@ -1471,6 +1617,17 @@ class ExactOctreeSdf(SdfFunction):
     # Denormalized field buckets above this byte size fall back to
     # per-query field gathers (slower, O(T) memory instead of O(slots)).
     _BUCKET_BYTE_BUDGET = 4 << 30
+
+    def _default_scan_impl(self) -> None:
+        """Window scan is the measured default (8.2 vs 6.6 M q/s for the
+        grouped scan at 2M points on v5e, scripts/scan_ab_bench.py r4);
+        width 16 won the A/B. Falls back to the grouped scan when the
+        dense buckets or the packed bounds table are unavailable."""
+        if self.bucket_fields is not None and self.leaf_scan_packed is not None:
+            self.scan_impl = "xla_window"
+        else:
+            self.scan_impl = "xla"
+        self.window_width = 16
 
     def _make_buckets(self):
         """Denormalized per-bucket triangle ids + packed distance fields
@@ -1499,6 +1656,19 @@ class ExactOctreeSdf(SdfFunction):
                 bucket_format=getattr(self, "bucket_format", "auto"),
             )
         )
+        # Packed per-leaf (first row << shift) | nchunks for the window
+        # scan: the query reads both bounds with ONE element gather.
+        nch = -(-cnts_np // self.scan_chunk)  # 0 stays 0
+        b0_np = np.asarray(self.bucket_row0).astype(np.int64)
+        shift = max(1, int(np.max(nch, initial=1)).bit_length())
+        if (int(b0_np.max(initial=0)) << shift) < 2**31:
+            self._scan_pack_shift = shift
+            self.leaf_scan_packed = jnp.asarray(
+                ((b0_np << shift) | nch).astype(np.int32)
+            )
+        else:  # >2^24 bucket rows: beyond the bucket byte budget anyway
+            self._scan_pack_shift = 0
+            self.leaf_scan_packed = None
 
     # -- queries ----------------------------------------------------------------
 
@@ -1515,14 +1685,27 @@ class ExactOctreeSdf(SdfFunction):
     _AUTO_GRID_DEPTH = 7
 
     def set_scan_impl(self, impl: str) -> None:
-        """Select the candidate-scan backend: "xla" (lax.map over blocks,
-        early-exit while loop), "pallas" (slab-streaming VMEM kernel over
-        leaf-aligned groups), or "pallas_window" (the same kernel over
-        fixed windows of the sorted order — no group-assembly passes; see
-        ops/pallas_scan.py). The Pallas backends require vertex-format
-        buckets (the auto default) and run in interpret mode off-TPU."""
-        if impl not in ("xla", "pallas", "pallas_window"):
+        """Select the candidate-scan backend: "xla" (leaf-aligned groups,
+        lax.map over blocks, early-exit while loop), "xla_window" (fixed
+        windows of the sorted order — deletes the group-assembly passes;
+        see _exact_scan_window_xla), "pallas" (slab-streaming VMEM kernel
+        over leaf-aligned groups), or "pallas_window" (the same kernel
+        over fixed windows; see ops/pallas_scan.py). The Pallas backends
+        require vertex-format buckets (the auto default), run in
+        interpret mode off-TPU, and do NOT compile under Mosaic on
+        v5e (dynamic single-lane slices need 128-alignment) — kept for
+        interpret-mode study; use "xla_window" on hardware."""
+        if impl not in ("xla", "xla_window", "pallas", "pallas_window"):
             raise ValueError(f"unknown scan impl {impl!r}")
+        if impl == "xla_window":
+            if self.bucket_fields is None:
+                raise ValueError(
+                    "xla_window scan requires dense field buckets"
+                )
+            if self.leaf_scan_packed is None:
+                raise ValueError(
+                    "bucket table too large for packed scan bounds"
+                )
         if impl.startswith("pallas"):
             CH = self.scan_chunk
             if (
@@ -1628,16 +1811,31 @@ class ExactOctreeSdf(SdfFunction):
         flat_p = jnp.pad(flat, [(0, Pp - P), (0, 0)])
 
         if self.bucket_fields is not None:
-            G = self._pick_group_width(flat_p, Pp)
-            L = int(self.leaf_offset.shape[0])
-            # static bound on groups: sum over leaves of ceil(n_l/G)
-            NG = _round_pow2(min(Pp, Pp // G + L), 64)
+            impl = getattr(self, "scan_impl", "xla")
             CH = self.scan_chunk
             max_chunks = -(-max_cnt // CH)
-            NB = 64  # largest power of two within the pair budget
-            while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
-                NB *= 2
-            NB = min(NB, NG)
+            if impl == "xla_window":
+                # fixed window width: independent of leaf density
+                G = int(getattr(self, "window_width", 8))
+                NG = Pp // G  # number of windows (reshape, no scatter)
+                NB = 64  # windows per block within the pair budget
+                while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
+                    NB *= 2
+                NB = min(NB, NG)
+            else:
+                G = self._pick_group_width(flat_p, Pp)
+                L = int(self.leaf_offset.shape[0])
+                # the scatter's float id carrier is exact only below 2^23
+                assert L < (1 << 23), (
+                    "grouped scan leaf-id carrier limit; use "
+                    "set_scan_impl('xla_window') for deeper structures"
+                )
+                # static bound on groups: sum over leaves of ceil(n_l/G)
+                NG = _round_pow2(min(Pp, Pp // G + L), 64)
+                NB = 64  # largest power of two within the pair budget
+                while NB * 2 * G * CH <= self._GROUP_PAIR_BUDGET:
+                    NB *= 2
+                NB = min(NB, NG)
             use_grid = self._leaf_grid is not None
             out, iters = _exact_query_fused(
                 self.octree_data,
@@ -1648,6 +1846,11 @@ class ExactOctreeSdf(SdfFunction):
                 self.bucket_ids,
                 self.bucket_fields,
                 self.bucket_cmin,
+                (
+                    self.leaf_scan_packed
+                    if self.leaf_scan_packed is not None
+                    else jnp.zeros(1, jnp.int32)
+                ),
                 self.triangles,
                 flat_p,
                 jnp.asarray(self.box.min),
@@ -1663,8 +1866,9 @@ class ExactOctreeSdf(SdfFunction):
                 early_exit=self._sorted_lists,
                 with_gradient=with_gradient,
                 prologue=self._scan_prologue if self._sorted_lists else 0,
-                scan_impl=getattr(self, "scan_impl", "xla"),
+                scan_impl=impl,
                 pallas_interpret=jax.default_backend() != "tpu",
+                pack_shift=self._scan_pack_shift,
             )
             # diagnostics for roofline accounting (device array, unsynced)
             self._last_scan_stats = {
@@ -1786,6 +1990,7 @@ class ExactOctreeSdf(SdfFunction):
         self.scan_chunk = _LEAF_CHUNK
         self._group_width_cache = {}
         self._make_buckets()
+        self._default_scan_impl()
         self._leaf_grid = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
             self.build_query_grid()

@@ -14,14 +14,17 @@ from sdflib_tpu.utils.primitives import make_icosphere, make_torus
 
 @pytest.fixture(scope="module")
 def mesh():
-    return make_icosphere(subdivisions=3, radius=0.35)
+    # subdivisions=2 (1280 tris): the deep-tree regime is covered by
+    # max_depth=5 with a small min-triangles cutoff; subdivisions=3 was
+    # measured 4x the build time for no extra code paths.
+    return make_icosphere(subdivisions=2, radius=0.35)
 
 
 @pytest.fixture(scope="module")
 def exact(mesh):
     box = mesh.bounding_box.add_margin(0.14)
     return ExactOctreeSdf(
-        mesh, box, max_depth=5, start_depth=2, min_triangles_per_node=32
+        mesh, box, max_depth=5, start_depth=2, min_triangles_per_node=16
     )
 
 
@@ -120,7 +123,7 @@ def test_strategies_stay_exact(strategy):
     The GJK-hull strategies (precise/per_vertex) pay a region factor per
     candidate pair, so they run on a smaller case to keep the suite
     fast — the criterion is exercised identically."""
-    small = strategy in ("precise", "per_vertex")
+    small = strategy != "lattice"  # lattice is the default: full-size case
     mesh = make_torus(
         R=0.3, r=0.12, nu=16 if small else 24, nv=8 if small else 12
     )
@@ -131,7 +134,7 @@ def test_strategies_stay_exact(strategy):
     )
     real = RealSdf(mesh)
     rng = np.random.default_rng(5)
-    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4, (4096, 3)).astype(
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4, (2048, 3)).astype(
         np.float32
     )
     np.testing.assert_allclose(
@@ -147,7 +150,7 @@ def test_futility_none_reference_shaped_tree():
     ExactOctreeSdfDepthFirst.h:299-302). The resulting tree must be at
     least as deep/large as the futility-shaped one and queries must stay
     exact."""
-    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
+    mesh = make_torus(R=0.3, r=0.12, nu=20, nv=10)
     box = mesh.bounding_box.add_margin(0.14)
     kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
     fut = ExactOctreeSdf(mesh, box, futility=0.8, **kw)
@@ -161,7 +164,7 @@ def test_futility_none_reference_shaped_tree():
     assert ref.build_stats["nodes_per_depth"].get(4, 0) > 0  # reaches max depth
     real = RealSdf(mesh)
     rng = np.random.default_rng(11)
-    pts = rng.uniform(ref.box.min + 1e-4, ref.box.max - 1e-4, (4096, 3)).astype(
+    pts = rng.uniform(ref.box.min + 1e-4, ref.box.max - 1e-4, (2048, 3)).astype(
         np.float32
     )
     d_ref = np.asarray(real.get_distance(pts))
@@ -188,7 +191,7 @@ def test_lattice_tighter_than_basic():
 
 def test_scan_chunk_rechunk_matches():
     """Re-chunking the bucket tables must not change query results."""
-    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    mesh = make_icosphere(subdivisions=1, radius=0.35)
     box = mesh.bounding_box.add_margin(0.14)
     ex = ExactOctreeSdf(
         mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16

@@ -90,53 +90,87 @@ def test_kernel_matches_bruteforce_synthetic():
             assert got == pytest.approx(ref, rel=1e-5, abs=1e-6)
 
 
-def test_fused_query_pallas_matches_xla():
-    """End-to-end: ExactOctreeSdf distances under scan_impl=pallas equal
-    the XLA grouped-scan distances on a real structure."""
-    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=16)
+@pytest.fixture(scope="module")
+def torus_sdf():
+    """One shared structure for the impl-parity tests (builds dominate
+    their wall time; scan settings are restored by each test)."""
+    mesh = make_torus(R=0.3, r=0.12, nu=20, nv=12)
     box = mesh.bounding_box.add_margin(0.1)
-    sdf = ExactOctreeSdf(
+    return ExactOctreeSdf(
         mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16
     )
-    rng = np.random.default_rng(1)
-    pts = rng.uniform(-0.5, 0.5, size=(1500, 3)).astype(np.float32)
-    d_xla = np.asarray(sdf.get_distance(pts))
-    sdf.set_scan_impl("pallas")
-    d_pal = np.asarray(sdf.get_distance(pts))
-    np.testing.assert_allclose(d_pal, d_xla, rtol=1e-5, atol=1e-6)
-    sdf.set_scan_impl("pallas_window")
-    d_win = np.asarray(sdf.get_distance(pts))
-    np.testing.assert_allclose(d_win, d_xla, rtol=1e-5, atol=1e-6)
 
-    # gradients route through the winner ids: cover BOTH pallas backends
+
+def test_fused_query_impls_match_xla(torus_sdf):
+    """End-to-end: ExactOctreeSdf distances under every alternate scan
+    backend equal the XLA grouped-scan distances on a real structure
+    (pallas backends in interpret mode; xla_window compiled)."""
+    sdf = torus_sdf
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-0.5, 0.5, size=(768, 3)).astype(np.float32)
     sdf.set_scan_impl("xla")
-    _, g_ref = sdf.get_distance_and_gradient(pts[:256])
-    g_ref = np.asarray(g_ref)
-    for impl in ("pallas", "pallas_window"):
+    d_xla = np.asarray(sdf.get_distance(pts))
+    for impl in ("xla_window", "pallas", "pallas_window"):
         sdf.set_scan_impl(impl)
-        _, g_imp = sdf.get_distance_and_gradient(pts[:256])
+        d_imp = np.asarray(sdf.get_distance(pts))
+        np.testing.assert_allclose(d_imp, d_xla, rtol=1e-5, atol=1e-6)
+
+    # gradients route through the winner ids: cover every backend
+    sdf.set_scan_impl("xla")
+    _, g_ref = sdf.get_distance_and_gradient(pts[:128])
+    g_ref = np.asarray(g_ref)
+    for impl in ("xla_window", "pallas", "pallas_window"):
+        sdf.set_scan_impl(impl)
+        _, g_imp = sdf.get_distance_and_gradient(pts[:128])
         np.testing.assert_allclose(
             np.asarray(g_imp), g_ref, rtol=1e-5, atol=1e-6
         )
+    sdf.set_scan_impl("xla")
 
 
-def test_wide_scan_chunk_repack():
+def test_xla_window_widths_and_sparse_batches(torus_sdf):
+    """The window scan must stay exact for every window width and for
+    SPARSE batches whose windows straddle distant leaves (the gap-jump
+    path: rows of non-member leaves are skipped, not truncated)."""
+    sdf = torus_sdf
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-0.5, 0.5, size=(512, 3)).astype(np.float32)
+    sdf.set_scan_impl("xla")
+    d_xla = np.asarray(sdf.get_distance(pts))
+    sdf.set_scan_impl("xla_window")
+    for width in (4, 16, 64):
+        sdf.window_width = width
+        d_w = np.asarray(sdf.get_distance(pts))
+        np.testing.assert_allclose(d_w, d_xla, rtol=1e-5, atol=1e-6)
+    # a handful of points scattered over the whole domain: every window
+    # spans many distant leaves
+    sdf.window_width = 8
+    few = rng.uniform(-0.5, 0.5, size=(17, 3)).astype(np.float32)
+    sdf.set_scan_impl("xla")
+    d_ref = np.asarray(sdf.get_distance(few))
+    sdf.set_scan_impl("xla_window")
+    d_few = np.asarray(sdf.get_distance(few))
+    np.testing.assert_allclose(d_few, d_ref, rtol=1e-5, atol=1e-6)
+    sdf.set_scan_impl("xla")
+    sdf.window_width = 8
+
+
+def test_wide_scan_chunk_repack(torus_sdf):
     """chunk=128 repacks the CSR into wider spans (full-vreg evals);
-    distances must be unchanged under both scan backends."""
-    mesh = make_torus(R=0.3, r=0.12, nu=24, nv=16)
-    box = mesh.bounding_box.add_margin(0.1)
-    sdf = ExactOctreeSdf(
-        mesh, box, max_depth=4, start_depth=1, min_triangles_per_node=16
-    )
+    distances must be unchanged under every scan backend."""
+    sdf = torus_sdf
     rng = np.random.default_rng(2)
     pts = rng.uniform(-0.5, 0.5, size=(1024, 3)).astype(np.float32)
+    sdf.set_scan_impl("xla")
     d64 = np.asarray(sdf.get_distance(pts))
     sdf.set_scan_chunk(128)
-    d128 = np.asarray(sdf.get_distance(pts))
-    np.testing.assert_allclose(d128, d64, rtol=1e-6, atol=1e-7)
-    sdf.set_scan_impl("pallas")
-    d128p = np.asarray(sdf.get_distance(pts))
-    np.testing.assert_allclose(d128p, d64, rtol=1e-6, atol=1e-7)
-    sdf.set_scan_impl("pallas_window")
-    d128w = np.asarray(sdf.get_distance(pts))
-    np.testing.assert_allclose(d128w, d64, rtol=1e-6, atol=1e-7)
+    try:
+        d128 = np.asarray(sdf.get_distance(pts))
+        np.testing.assert_allclose(d128, d64, rtol=1e-6, atol=1e-7)
+        for impl in ("xla_window", "pallas", "pallas_window"):
+            sdf.set_scan_impl(impl)
+            d128i = np.asarray(sdf.get_distance(pts))
+            np.testing.assert_allclose(d128i, d64, rtol=1e-6, atol=1e-7)
+    finally:
+        sdf.set_scan_impl("xla")
+        sdf.set_scan_chunk(64)  # restore for other tests on the fixture

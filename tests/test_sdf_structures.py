@@ -133,7 +133,7 @@ def test_grid_octree_init_matches_basic():
     from sdflib_tpu.sdf.grid import UniformGridSdf
     from sdflib_tpu.utils.primitives import make_icosphere
 
-    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    mesh = make_icosphere(subdivisions=1, radius=0.35)
     box = mesh.bounding_box.add_margin(0.1)
     basic = UniformGridSdf(mesh, box, depth=4, init_algorithm="basic")
     octree = UniformGridSdf(mesh, box, depth=4, init_algorithm="octree")
