@@ -806,6 +806,12 @@ def _exact_query_fused(
     group width G is chosen by the caller (cached per batch shape), so no
     data-dependent host decisions remain inside."""
     # -- descent ------------------------------------------------------------
+    # The window scan never needs LEAF IDS — only each point's packed
+    # (row0, nchunks). With the dense grid, the grid stores the packed
+    # value directly (leaf_grid_i32 IS the packed grid then): descent's
+    # one row gather returns the scan bounds, the sort keys on the packed
+    # value (monotone in leaf id, so leaf-coherence is preserved), and no
+    # per-point bounds gather exists at all.
     if use_grid:
         leaf_id, in_box = _exact_descent_grid(
             leaf_grid_i32, pts, box_min, box_size, grid_depth=grid_depth
@@ -815,6 +821,8 @@ def _exact_query_fused(
             octree_u32, pts, box_min, box_size, start_grid_size,
             levels=levels,
         )
+        if scan_impl == "xla_window":
+            leaf_id = leaf_scan_packed[leaf_id]  # walk path: one gather
 
     # -- leaf-coherent ordering + grouping ----------------------------------
     # ONE multi-operand lax.sort carries the coordinates and the original
@@ -831,10 +839,9 @@ def _exact_query_fused(
     iters = jnp.int32(0)
     if scan_impl == "xla_window":
         # Fixed G-point windows of the sorted order (see
-        # _exact_scan_window_xla): the per-point row bounds come from ONE
-        # packed element gather instead of two, and windows/blocks are
-        # reshapes — no group assembly at all.
-        pk = leaf_scan_packed[lid_s]
+        # _exact_scan_window_xla): windows/blocks are reshapes — no group
+        # assembly at all. lid_s already IS the packed bounds value here.
+        pk = lid_s
         b0_pt = (pk >> pack_shift).astype(jnp.int32)
         nc_pt = (pk & ((1 << pack_shift) - 1)).astype(jnp.int32)
         NW = pts_s.shape[0] // G
@@ -1611,6 +1618,7 @@ class ExactOctreeSdf(SdfFunction):
         self._make_buckets()
         self._default_scan_impl()
         self._leaf_grid = None
+        self._leaf_grid_packed = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
             self.build_query_grid()
 
@@ -1755,16 +1763,29 @@ class ExactOctreeSdf(SdfFunction):
         self.bucket_ids = None
         self.bucket_cmin = None
         self._make_buckets()
+        # chunk width changes every leaf's (row0, nchunks) packing
+        self._rebuild_packed_grid()
 
     def build_query_grid(self) -> None:
         """Dense leaf-id grid at max_depth resolution: descent becomes one
-        row gather (4 bytes x 8^max_depth of HBM)."""
+        row gather (4 bytes x 8^max_depth of HBM). A second grid holds the
+        packed scan bounds per cell so the window scan's descent gather
+        returns (row0, nchunks) directly — no per-point bounds gather."""
         grid = _build_leaf_grid(
             np.asarray(self.octree_data), self.start_grid_size, self.max_depth
         )
-        self._leaf_grid = jnp.asarray(
-            (grid[:, 0] & CHILDREN_INDEX_MASK).astype(np.int32)
-        )
+        lid = (grid[:, 0] & CHILDREN_INDEX_MASK).astype(np.int32)
+        self._leaf_grid = jnp.asarray(lid)
+        self._rebuild_packed_grid(lid)
+
+    def _rebuild_packed_grid(self, lid_np: np.ndarray | None = None) -> None:
+        if self._leaf_grid is None or self.leaf_scan_packed is None:
+            self._leaf_grid_packed = None
+            return
+        if lid_np is None:
+            lid_np = np.asarray(self._leaf_grid)
+        pk = np.asarray(self.leaf_scan_packed)
+        self._leaf_grid_packed = jnp.asarray(pk[lid_np])
 
     def _descend(self, flat_p):
         if self._leaf_grid is not None:
@@ -1837,9 +1858,17 @@ class ExactOctreeSdf(SdfFunction):
                     NB *= 2
                 NB = min(NB, NG)
             use_grid = self._leaf_grid is not None
+            if impl == "xla_window":
+                # the fused program reads PACKED bounds from the grid in
+                # window mode; set_scan_impl guarantees leaf_scan_packed
+                # exists, and build_query_grid derives the packed grid
+                assert not use_grid or self._leaf_grid_packed is not None
+                grid_arr = self._leaf_grid_packed
+            else:
+                grid_arr = self._leaf_grid
             out, iters = _exact_query_fused(
                 self.octree_data,
-                self._leaf_grid if use_grid else jnp.zeros(8, jnp.int32),
+                grid_arr if use_grid else jnp.zeros(8, jnp.int32),
                 self.bucket_row0,
                 self.leaf_count,
                 self.leaf_centers,
@@ -1992,6 +2021,7 @@ class ExactOctreeSdf(SdfFunction):
         self._make_buckets()
         self._default_scan_impl()
         self._leaf_grid = None
+        self._leaf_grid_packed = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
             self.build_query_grid()
 
