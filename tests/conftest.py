@@ -3,6 +3,13 @@
 Multi-chip sharding is validated on virtual CPU devices
 (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8); the real TPU
 is exercised by bench.py, not the test suite.
+
+KNOWN BLIND SPOT: a program can be bit-exact on CPU and wrong on TPU
+(e.g. the r2-r4 grouped-scan leaf-id bitcast: denormal floats flushed to
+zero only on hardware). bench.py's `exact_oracle_max_err` (10k-point
+brute-force comparison ON the TPU, run every round) is the hardware
+correctness gate — CPU-green alone does not clear numeric-carrier or
+Mosaic-lowering changes.
 """
 import os
 
