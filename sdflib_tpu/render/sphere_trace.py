@@ -330,6 +330,99 @@ def _march_round_jit(
     return state, dirs, perm, iters_used, n_active
 
 
+@partial(jax.jit, static_argnames=(
+    "levels", "num_coeff", "interpolation", "grid_depth",
+    "fast", "grid_fat", "schedule", "B",
+))
+def _march_pyramid_jit(
+    octree_u32,
+    grid_u32,
+    state,        # (pos, acc, last_d, active) over ALL Rp rays
+    dirs,
+    perm,
+    iters_used,
+    box_min,
+    box_size,
+    start_grid_size,
+    min_border_value,
+    eps,
+    far,
+    *,
+    levels: int,
+    num_coeff: int,
+    interpolation: str,
+    grid_depth: int | None,
+    fast: bool,
+    grid_fat: bool,
+    schedule: tuple,   # ((iters, n_blk), ...) static pyramid
+    B: int,
+):
+    """The WHOLE multi-round march as ONE compiled program: a static
+    pyramid of (iters, prefix) rounds with a FULL-array compaction (one
+    multi-operand lax.sort keyed on ~active) between rounds, so active
+    rays always sit at the front regardless of whether the previous
+    prefix covered them all. Replaces the per-round host sync of the
+    dynamic scheduler (~6 x ~25 ms of round-trip latency per 1M-ray frame
+    through the tunnel) with a single dispatch; the caller makes ONE
+    final sync and hands any stragglers (a scene where actives outnumber
+    a pyramid prefix) to the dynamic loop, which is exact."""
+    def round_step(state, dirs, perm, iters_used, k, n_blk):
+        head = jax.tree.map(lambda a: a[:n_blk], state)
+        hdirs = dirs[:n_blk]
+
+        def blk(args):
+            st, db = args
+            return _march_state_jit(
+                octree_u32, grid_u32, st, db,
+                box_min, box_size, start_grid_size, min_border_value,
+                eps, far,
+                levels=levels, num_coeff=num_coeff,
+                interpolation=interpolation,
+                max_iters=k, grid_depth=grid_depth, fast=fast,
+                grid_fat=grid_fat,
+            )
+
+        Bb = min(B, n_blk)
+        nb = n_blk // Bb
+        its, head = jax.lax.map(
+            blk,
+            (
+                jax.tree.map(
+                    lambda a: a.reshape((nb, Bb) + a.shape[1:]), head
+                ),
+                hdirs.reshape(nb, Bb, 3),
+            ),
+        )
+        head = jax.tree.map(
+            lambda a: a.reshape((n_blk,) + a.shape[2:]), head
+        )
+        state = jax.tree.map(
+            lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
+        )
+        iters_used = iters_used.at[perm[:n_blk]].add(
+            jnp.repeat(its, Bb), mode="drop"
+        )
+        # FULL compaction: actives to the global front (stable 11-operand
+        # sort; the payload rides the comparator network nearly free).
+        pos, acc, last_d, active = state
+        key = (active <= 0).astype(jnp.int32)
+        (_, px, py, pz, a_, ld, av, dx, dy, dz, pm) = jax.lax.sort(
+            (key, pos[:, 0], pos[:, 1], pos[:, 2], acc, last_d, active,
+             dirs[:, 0], dirs[:, 1], dirs[:, 2], perm),
+            num_keys=1, is_stable=True,
+        )
+        state = (jnp.stack([px, py, pz], -1), a_, ld, av)
+        dirs = jnp.stack([dx, dy, dz], -1)
+        return state, dirs, pm, iters_used
+
+    for k, n_blk in schedule:
+        state, dirs, perm, iters_used = round_step(
+            state, dirs, perm, iters_used, k, n_blk
+        )
+    n_active = jnp.sum((state[3] > 0).astype(jnp.int32))
+    return state, dirs, perm, iters_used, n_active
+
+
 @partial(jax.jit,
          static_argnames=("levels", "num_coeff", "interpolation", "fast"))
 def _trace_normals_jit(
@@ -466,6 +559,7 @@ def trace_octree(
     max_iters: int = 1024,
     block_size: int | None = None,
     beam: int | None = 4,
+    pyramid: bool = True,
     stats_out: dict | None = None,
 ) -> TraceResult:
     """Sphere-trace rays against an OctreeSdf. eps/far are in normalized
@@ -564,8 +658,7 @@ def trace_octree(
 
     # Multi-round march with compaction: rounds grow geometrically; after
     # each round the still-active rays are re-packed to the front so the
-    # finished bulk stops paying march gathers. Each round is ONE compiled
-    # call (_march_round_jit); only the active count crosses to the host.
+    # finished bulk stops paying march gathers.
     perm = jnp.arange(Rp)
     d_cur = d
     iters_used = jnp.zeros(Rp, jnp.int32)
@@ -573,6 +666,43 @@ def trace_octree(
     remaining = max_iters
     rounds_log = []
     round_iters = min(_FIRST_ROUND_ITERS, max_iters)
+
+    # Large frames run a STATIC pyramid of rounds fused into ONE program
+    # (_march_pyramid_jit): no per-round host sync (~25 ms each through
+    # the tunnel). The prefix divisors mirror the measured geometric
+    # shrink of active rays (PERF.md §3); scenes whose actives overflow a
+    # prefix are caught by the single post-pyramid sync and finish in the
+    # exact dynamic loop below.
+    if pyramid and Rp >= (1 << 15) and max_iters >= 64:
+        schedule = []
+        k, rem = round_iters, max_iters
+        for div in (1, 8, 32, 128, 256, 512):
+            if rem <= 0:
+                break
+            nbk = max(Rp // div, min(1 << 10, Rp))
+            if nbk >= B:
+                nbk = min(-(-nbk // B) * B, Rp)   # whole B-blocks
+            else:
+                nbk = 1 << (max(nbk - 1, 1)).bit_length()  # pow2 <= B
+            schedule.append((min(k, rem), nbk))
+            rem -= k
+            k = min(k * 2, 256)
+        state, d_cur, perm, iters_used, n_act = _march_pyramid_jit(
+            octree.octree_data, grid_arr, state, d_cur, perm, iters_used,
+            *common,
+            **statics,
+            schedule=tuple(schedule), B=B,
+        )
+        n_cur = int(n_act)       # the frame's single host sync
+        # Cleanup budget = what the LEAST-marched active ray may still
+        # need: a ray overflowing every shrinking prefix was only offered
+        # the first round's iterations. Rays that marched more pyramid
+        # rounds may be offered more than max_iters in total — a ray's
+        # trajectory is schedule-independent, so this only costs work,
+        # never changes a converged result.
+        remaining = max(max_iters - schedule[0][0], 0) if n_cur else 0
+        round_iters = 256
+        rounds_log.append(("pyramid", tuple(schedule), n_cur))
     while remaining > 0 and n_cur > 0:
         k = min(round_iters, remaining)
         # pow2 prefix sizing (bounds compile variants); a small floor so

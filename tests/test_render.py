@@ -121,3 +121,33 @@ def test_png_grayscale_and_rgba(tmp_path):
     rgba = np.random.default_rng(0).uniform(0, 1, (16, 16, 4)).astype(np.float32)
     write_png(str(tmp_path / "rgba.png"), rgba)
     assert to_u8(np.array([0.0, 0.5, 1.0])).tolist() == [0, 128, 255]
+
+
+def test_pyramid_schedule_matches_dynamic(octree):
+    """The fused pyramid march (one dispatch, full-array compaction
+    between static rounds) must produce the same hits/depths as the
+    per-round dynamic scheduler on a frame large enough to engage it."""
+    import numpy as np
+    from sdflib_tpu.render.sphere_trace import trace_octree
+
+    R = 256
+    u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
+    gu, gv = np.meshgrid(u, u)
+    origins = np.stack([gu, gv, np.full_like(gu, -1.2)], -1).astype(np.float32)
+    dirs = np.broadcast_to(
+        np.array([0.0, 0.0, 1.0], np.float32), origins.shape
+    ).copy()
+    # converged regime (every ray retires within budget): a ray's
+    # trajectory is schedule-independent, so results must be identical
+    stats = {}
+    res_p = trace_octree(octree, origins, dirs, max_iters=1024,
+                         pyramid=True, stats_out=stats)
+    res_d = trace_octree(octree, origins, dirs, max_iters=1024,
+                         pyramid=False)
+    assert stats["rounds"][0][0] == "pyramid"  # the fused path actually ran
+    np.testing.assert_array_equal(
+        np.asarray(res_p.hit), np.asarray(res_d.hit)
+    )
+    hp = np.asarray(res_p.depth)[np.asarray(res_p.hit)]
+    hd = np.asarray(res_d.depth)[np.asarray(res_d.hit)]
+    np.testing.assert_allclose(hp, hd, rtol=1e-5, atol=1e-6)
