@@ -25,6 +25,7 @@ Key re-design decisions (SURVEY.md S2.4.7):
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -1234,6 +1235,15 @@ def _build_exact(
         stats["nodes_per_depth"][depth] = (
             stats["nodes_per_depth"].get(depth, 0) + n_nodes
         )
+        if os.environ.get("SDFLIB_BUILD_VERBOSE"):
+            import sys as _sys
+            import time as _time
+            print(
+                f"[build] depth={depth} nodes={n_nodes} "
+                f"groups={len(groups)} proj_entries={proj} "
+                f"work_stack={len(work)} t={_time.strftime('%H:%M:%S')}",
+                file=_sys.stderr, flush=True,
+            )
         # children buckets: width -> list of (centers, cand, valid, slots)
         next_buckets: dict[int, list] = {}
 
@@ -1828,6 +1838,12 @@ class ExactOctreeSdf(SdfFunction):
         max_cnt = int(np.max(np.asarray(self.leaf_count), initial=1))
 
         B = self._QUERY_BLOCK
+        if P < B:
+            # small batches pad to the next power of two (floor 1024), not
+            # the full block: a 4k-point query otherwise pays 131k points
+            # of scan work. Pow-2 bucketing keeps compile variants bounded
+            # (<= 8 sizes below the block).
+            B = max(1 << (max(P - 1, 1)).bit_length(), 1024)
         Pp = -(-max(P, 1) // B) * B
         flat_p = jnp.pad(flat, [(0, Pp - P), (0, 0)])
 
