@@ -1512,15 +1512,37 @@ def make_bucket_tables(
     else:
         source = None
     if source is not None:
-        safe = jnp.maximum(ids, 0)
-        mask = ids >= 0
-        per_field = [
-            jnp.where(mask, source[:, r][safe], 0.0)
-            for r in range(nf)
-        ]  # nf x (NB, CH) — keeps every intermediate lane-friendly
-        bucket_fields = jnp.stack(per_field, axis=1).reshape(
-            ids.shape[0], nf * CH
-        )
+        # Chunked + DONATED in-place assembly: the whole-table variant
+        # (nf per-field arrays + a stacked copy) transiently held ~2x the
+        # multi-GB field table and OOMed the 100k-triangle depth-7 build;
+        # the donated updater keeps the peak at ~1x + one chunk.
+        @partial(jax.jit, donate_argnums=(0,))
+        def _fill(buf, ids_c, src, i):
+            safe = jnp.maximum(ids_c, 0)
+            mask = ids_c >= 0
+            rows = jnp.concatenate(
+                [
+                    jnp.where(mask, src[:, r][safe], 0.0)
+                    for r in range(src.shape[1])
+                ],
+                axis=1,
+            )  # (C, nf*CHs) field-major
+            return jax.lax.dynamic_update_slice(buf, rows, (i, 0))
+
+        try:
+            bucket_fields = jnp.zeros(
+                (ids.shape[0], nf * CH), jnp.float32
+            )
+            Cf = 1 << 17
+            for i in range(0, ids.shape[0], Cf):
+                # a short last chunk is its own (second) jit variant
+                bucket_fields = _fill(
+                    bucket_fields, ids[i : i + Cf], source, i
+                )
+        except jax.errors.JaxRuntimeError:
+            # HBM exhausted: degrade to id-only buckets (slower per-field
+            # gathers at query time) instead of failing the build.
+            bucket_fields = None
     else:
         bucket_fields = None
 
