@@ -318,17 +318,17 @@ def _load_exact_bin(r: "_Reader"):
             for name, arr in soa._asdict().items()
         },
     }
-    import jax.numpy as jnp
-
     sdf = ExactOctreeSdf._from_state_arrays(state)
     # Lists keep the reference's order (NOT distance-sorted): leaf_centers
     # is deliberately absent from the state so _load_state disabled the
-    # sorted-list early exit; the centers are still useful metadata.
-    sdf.leaf_centers = jnp.asarray(
-        np.stack(leaf_centers)
+    # sorted-list early exit; the centers are still useful metadata
+    # (host-resident: a device (L, 3) array lane-pads 3 -> 128).
+    sdf.leaf_centers = (
+        np.stack(leaf_centers).astype(np.float32)
         if leaf_centers
         else np.zeros((1, 3), np.float32)
     )
+    sdf._leaf_centers_dev_cache = None
     return sdf
 
 

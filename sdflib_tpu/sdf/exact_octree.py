@@ -1555,14 +1555,17 @@ def make_bucket_tables(
     )[: ids.shape[0]]
     if len(bucket_leaf) < ids.shape[0]:
         bucket_leaf = np.pad(bucket_leaf, (0, ids.shape[0] - len(bucket_leaf)))
-    cen_b = jnp.asarray(leaf_centers)[jnp.asarray(bucket_leaf)]
+    # Per-bucket centers are gathered PER CHUNK on host: a device-resident
+    # (NB, 3) array lane-pads 3 -> 128 (42x HBM, ~1 GB at 100k-mesh scale
+    # — the depth-7 build OOMed exactly here).
+    cen_np = np.asarray(leaf_centers)
     # chunk over bucket rows: the distance eval holds ~25 (C, CH)
     # temporaries, so a full-NB sweep would transiently eat several GB
     C = 1 << 17
     parts = []
     for i in range(0, ids.shape[0], C):
         ids_c = ids[i : i + C]
-        cen_c = cen_b[i : i + C]
+        cen_c = jnp.asarray(cen_np[bucket_leaf[i : i + C]])
         if bucket_fields is not None:
             bf = bucket_fields[i : i + C]
             field_fn = lambda r: bf[:, r * CH : (r + 1) * CH]
@@ -1642,7 +1645,11 @@ class ExactOctreeSdf(SdfFunction):
         self.leaf_offset = jnp.asarray(leaf_offset)
         self.leaf_count = jnp.asarray(leaf_count)
         self.tri_flat = jnp.asarray(tri_flat)
-        self.leaf_centers = jnp.asarray(leaf_centers)
+        # HOST-resident: a device (L, 3) array lane-pads 3 -> 128 (42x
+        # HBM); only the grouped scan reads it at query time, via the
+        # lazily cached device copy below.
+        self.leaf_centers = np.asarray(leaf_centers, np.float32)
+        self._leaf_centers_dev_cache = None
         self._sorted_lists = True  # builder emits center-distance-sorted lists
         self.build_stats = stats
         self.scan_chunk = _LEAF_CHUNK
@@ -1657,6 +1664,13 @@ class ExactOctreeSdf(SdfFunction):
     # Denormalized field buckets above this byte size fall back to
     # per-query field gathers (slower, O(T) memory instead of O(slots)).
     _BUCKET_BYTE_BUDGET = 4 << 30
+
+    def _leaf_centers_dev(self):
+        """Device copy of the (host-resident) leaf centers, cached on
+        first use — only the grouped scan's early-exit bound reads it."""
+        if self._leaf_centers_dev_cache is None:
+            self._leaf_centers_dev_cache = jnp.asarray(self.leaf_centers)
+        return self._leaf_centers_dev_cache
 
     def _default_scan_impl(self) -> None:
         """Window scan is the measured default (8.2 vs 6.6 M q/s for the
@@ -1909,7 +1923,13 @@ class ExactOctreeSdf(SdfFunction):
                 grid_arr if use_grid else jnp.zeros(8, jnp.int32),
                 self.bucket_row0,
                 self.leaf_count,
-                self.leaf_centers,
+                # the window scan never reads centers (no early-exit
+                # bound); keep the padded (L, 3) array off-device then
+                (
+                    jnp.zeros((1, 3), jnp.float32)
+                    if impl == "xla_window"
+                    else self._leaf_centers_dev()
+                ),
                 self.bucket_ids,
                 self.bucket_fields,
                 self.bucket_cmin,
@@ -1955,7 +1975,7 @@ class ExactOctreeSdf(SdfFunction):
                     _exact_scan(
                         self.leaf_offset,
                         self.leaf_count,
-                        self.leaf_centers,
+                        self._leaf_centers_dev(),
                         self.bucket_ids,
                         self.packed_fields,
                         self.bucket_cmin,
@@ -2043,12 +2063,13 @@ class ExactOctreeSdf(SdfFunction):
         else:
             self._sorted_lists = "leaf_centers" in state
         if "leaf_centers" in state:
-            self.leaf_centers = jnp.asarray(state["leaf_centers"])
+            self.leaf_centers = np.asarray(state["leaf_centers"], np.float32)
         else:
-            self.leaf_centers = jnp.zeros(
+            self.leaf_centers = np.zeros(
                 (max(int(np.asarray(state["leaf_count"]).shape[0]), 1), 3),
-                jnp.float32,
+                np.float32,
             )
+        self._leaf_centers_dev_cache = None
         fields = TriangleDataSoA._fields
         self.triangles = TriangleDataSoA(
             *(jnp.asarray(state[f"tri_{n}"]) for n in fields)
