@@ -29,6 +29,7 @@ def main():
     depth = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
     cache = sys.argv[3] if len(sys.argv) > 3 else None
+    min_tris = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     if cache and not cache.endswith(".npz"):
         cache += ".npz"  # np.savez appends it; keep the exists() check honest
     t0 = time.perf_counter()
@@ -45,7 +46,7 @@ def main():
         box = mesh.bounding_box.add_margin(0.14)
         ex = ExactOctreeSdf(
             mesh, box, max_depth=depth, start_depth=3,
-            min_triangles_per_node=32,
+            min_triangles_per_node=min_tris,
         )
         build_s = time.perf_counter() - t0
         if cache:

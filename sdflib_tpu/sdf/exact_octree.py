@@ -1470,6 +1470,17 @@ def make_bucket_tables(
     the price of more -1 padding slots for short lists. Returns
     (ids, fields, cmin, bucket_row0) where bucket_row0[l] is leaf l's
     first bucket ROW (the query must not assume leaf_offset // CH)."""
+    if os.environ.get("SDFLIB_BUILD_VERBOSE"):
+        import sys as _sys
+        live = sorted(
+            ((a.nbytes, a.shape) for a in jax.live_arrays()), reverse=True
+        )
+        print(
+            f"[buckets:entry] live_logical_mb="
+            f"{sum(b for b, _ in live) // (1 << 20)} "
+            f"top={[(b >> 20, s) for b, s in live[:8]]}",
+            file=_sys.stderr, flush=True,
+        )
     CH = chunk
     cnts = np.asarray(leaf_count)
     L = len(cnts)
@@ -1500,6 +1511,17 @@ def make_bucket_tables(
     )
     packed_fields = jnp.asarray(packed_fields)
     nf = packed_fields.shape[1]
+
+    # Row-pad FIRST to a multiple of the Pallas scan's slab height so the
+    # field table is built at its final size (an end-of-build jnp.pad of
+    # the multi-GB table costs a 2x transient that OOMed the 100k-mesh
+    # depth-7 build); the scan never reads pad rows live (ids are -1).
+    NBp = -(-ids.shape[0] // _PALLAS_SLAB) * _PALLAS_SLAB
+    if NBp != ids.shape[0]:
+        ids = jnp.pad(
+            ids, [(0, NBp - ids.shape[0]), (0, 0)], constant_values=-1
+        )
+
     # auto prefers the vertex tier: 2.1x smaller AND measured ~9% faster
     # (gather bytes drop; the on-the-fly frame derivation amortizes over
     # the group). frame19 remains for precomputed-frame selection order.
@@ -1511,6 +1533,18 @@ def make_bucket_tables(
         source = packed_fields
     else:
         source = None
+    if os.environ.get("SDFLIB_BUILD_VERBOSE"):
+        import sys as _sys
+        live = sorted(
+            ((a.nbytes, a.shape) for a in jax.live_arrays()), reverse=True
+        )
+        print(
+            f"[buckets] rows={ids.shape[0]} slots={ids.size} "
+            f"fields_bytes={0 if source is None else ids.size * int(nf) * 4} "
+            f"live_logical_mb={sum(b for b, _ in live) // (1 << 20)} "
+            f"top={[(b >> 20, s) for b, s in live[:6]]}",
+            file=_sys.stderr, flush=True,
+        )
     if source is not None:
         # Chunked + DONATED in-place assembly: the whole-table variant
         # (nf per-field arrays + a stacked copy) transiently held ~2x the
@@ -1559,43 +1593,45 @@ def make_bucket_tables(
     # (NB, 3) array lane-pads 3 -> 128 (42x HBM, ~1 GB at 100k-mesh scale
     # — the depth-7 build OOMed exactly here).
     cen_np = np.asarray(leaf_centers)
-    # chunk over bucket rows: the distance eval holds ~25 (C, CH)
-    # temporaries, so a full-NB sweep would transiently eat several GB
-    C = 1 << 17
-    parts = []
-    for i in range(0, ids.shape[0], C):
-        ids_c = ids[i : i + C]
-        cen_c = jnp.asarray(cen_np[bucket_leaf[i : i + C]])
-        if bucket_fields is not None:
-            bf = bucket_fields[i : i + C]
-            field_fn = lambda r: bf[:, r * CH : (r + 1) * CH]
-            sqd = _bucket_sqdist(
-                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn, nf
-            )
-        else:
-            safe = jnp.maximum(ids_c, 0)
-            field_fn = lambda r: packed_fields[:, r][safe]
-            sqd = sq_dist_from_field_fn(
-                cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
-            )
-        sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
-        parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
-    bucket_cmin = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    # Row-pad to a multiple of the Pallas scan's slab height so its
-    # fixed-size H-row DMAs stay in bounds (ops/pallas_scan.py). Padding
-    # HERE costs one build-time copy; padding inside the query would copy
-    # the multi-GB tables every call. The XLA scan never reads the pad
-    # rows live (gate masks beyond-count chunks; ids are -1 anyway).
-    NBp = -(-ids.shape[0] // _PALLAS_SLAB) * _PALLAS_SLAB
-    if NBp != ids.shape[0]:
-        extra = NBp - ids.shape[0]
-        ids = jnp.pad(ids, [(0, extra), (0, 0)], constant_values=-1)
-        if bucket_fields is not None:
-            bucket_fields = jnp.pad(bucket_fields, [(0, extra), (0, 0)])
-        bucket_cmin = jnp.pad(
-            bucket_cmin, (0, extra), constant_values=jnp.inf
-        )
+    def _build_cmin(fields_or_none):
+        # chunk over bucket rows: the distance eval holds ~25 (C, CH)
+        # temporaries, so a full-NB sweep would transiently eat several GB
+        C = 1 << 17
+        parts = []
+        for i in range(0, ids.shape[0], C):
+            ids_c = ids[i : i + C]
+            cen_c = jnp.asarray(cen_np[bucket_leaf[i : i + C]])
+            if fields_or_none is not None:
+                bf = fields_or_none[i : i + C]
+                field_fn = lambda r: bf[:, r * CH : (r + 1) * CH]
+                sqd = _bucket_sqdist(
+                    cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3],
+                    field_fn, nf,
+                )
+            else:
+                safe = jnp.maximum(ids_c, 0)
+                field_fn = lambda r: packed_fields[:, r][safe]
+                sqd = sq_dist_from_field_fn(
+                    cen_c[:, 0:1], cen_c[:, 1:2], cen_c[:, 2:3], field_fn
+                )
+            sqd = jnp.where(ids_c >= 0, sqd, jnp.inf)
+            parts.append(jnp.sqrt(jnp.min(sqd, axis=1)))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    try:
+        bucket_cmin = _build_cmin(bucket_fields)
+    except jax.errors.JaxRuntimeError:
+        # HBM exhausted with the dense table resident: degrade to
+        # id-only buckets rather than failing the build.
+        bucket_fields = None
+        if os.environ.get("SDFLIB_BUILD_VERBOSE"):
+            import sys as _sys
+            print("[buckets] HBM exhausted in cmin -> id-only buckets",
+                  file=_sys.stderr, flush=True)
+        bucket_cmin = _build_cmin(None)
+
+    # (rows were slab-padded BEFORE field construction, see above)
     return ids, bucket_fields, bucket_cmin, jnp.asarray(bucket_row0)
 
 
