@@ -1748,6 +1748,14 @@ class ExactOctreeSdf(SdfFunction):
         )
         # Packed per-leaf (first row << shift) | nchunks for the window
         # scan: the query reads both bounds with ONE element gather.
+        # row0 sits in the HIGH bits deliberately: the fused query sorts
+        # points on this value, so the scan's per-iteration row gathers
+        # stay table-ordered. A scan-length-major packing (nchunks high)
+        # was built and measured 23% SLOWER on v5e (8.8 vs 11.4 M q/s at
+        # 2M points) despite 11% fewer sequential block iterations — the
+        # scattered per-iteration gathers cost more than the straggler
+        # rows save, and an offline model shows block-max waste is only
+        # ~2.5x ideal with heavy leaves spatially clustered (r5).
         nch = -(-cnts_np // self.scan_chunk)  # 0 stays 0
         b0_np = np.asarray(self.bucket_row0).astype(np.int64)
         shift = max(1, int(np.max(nch, initial=1)).bit_length())
@@ -1756,7 +1764,7 @@ class ExactOctreeSdf(SdfFunction):
             self.leaf_scan_packed = jnp.asarray(
                 ((b0_np << shift) | nch).astype(np.int32)
             )
-        else:  # >2^24 bucket rows: beyond the bucket byte budget anyway
+        else:  # >2^26 packed bits: beyond the bucket byte budget anyway
             self._scan_pack_shift = 0
             self.leaf_scan_packed = None
 

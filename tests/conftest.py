@@ -26,3 +26,14 @@ import jax  # noqa: E402
 # config update below is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache for the CPU test programs: on the 1-core CI
+# box XLA:CPU compiles dominate suite wall time, and most test programs
+# recur run-to-run. Kept SEPARATE from the TPU cache directory (mixing
+# backends in one dir spams cross-backend AOT warnings; CLAUDE.md).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/sdflib_tpu/jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
