@@ -182,6 +182,73 @@ def main():
         )
         return wins.reshape(-1)
 
+    # --- XLA window-scan path (the r4 default impl) ----------------------
+    # Uses the PACKED grid: descent's gather returns (row0<<shift)|nchunks.
+    try:
+        ex.set_scan_impl("xla_window")
+    except ValueError:
+        pass
+    WG = int(getattr(ex, "window_width", 16))
+    shift = ex._scan_pack_shift
+    WNB = 64
+    while WNB * 2 * WG * CH <= ex._GROUP_PAIR_BUDGET:
+        WNB *= 2
+    WNB = min(WNB, n // WG)
+    pgrid = ex._leaf_grid_packed
+
+    def _window_prefix(p, run_scan: bool):
+        pk, _ = eo._exact_descent_grid(
+            pgrid, p, box_min, box_size, grid_depth=gd
+        )
+        iota = jnp.arange(p.shape[0], dtype=jnp.int32)
+        pk_s, xs, ys, zs, order = jax.lax.sort(
+            (pk, p[:, 0], p[:, 1], p[:, 2], iota), num_keys=1
+        )
+        if not run_scan:
+            return xs, pk_s, order
+        pts_s = jnp.stack([xs, ys, zs], axis=-1)
+        b0_pt = (pk_s >> shift).astype(jnp.int32)
+        nc_pt = (pk_s & ((1 << shift) - 1)).astype(jnp.int32)
+        NW = pts_s.shape[0] // WG
+        nblocks = max(1, NW // WNB)
+
+        def wblk(args):
+            bp, bb0, bnc = args
+            return eo._exact_scan_window_xla(
+                ex.bucket_ids, ex.bucket_fields, bp, bb0, bnc,
+                max_iters=WG * max_chunks, prologue=ex._scan_prologue,
+            )
+
+        wins = jax.lax.map(
+            wblk,
+            (
+                pts_s.reshape(nblocks, -1, WG, 3),
+                b0_pt.reshape(nblocks, -1, WG),
+                nc_pt.reshape(nblocks, -1, WG),
+            ),
+        )
+        return pts_s, wins.reshape(-1), order
+
+    @jax.jit
+    def s3w_sort_packed(p):
+        return _window_prefix(p, run_scan=False)
+
+    @jax.jit
+    def s5wx_scan_window_xla(p):
+        return _window_prefix(p, run_scan=True)[1]
+
+    @jax.jit
+    def s6w_finish_window(p):
+        pts_s, win_s, order = _window_prefix(p, run_scan=True)
+        rel = (pts_s - box_min) / box_size
+        in_box_s = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
+        out_s = eo._exact_finish(
+            ex.triangles, pts_s, win_s, in_box_s, box_min, box_size,
+            with_gradient=False,
+        )
+        _, d = jax.lax.sort((order, out_s), num_keys=1)
+        return d
+
     @jax.jit
     def s6_finish(p):
         lid, _ = eo._exact_descent_grid(
@@ -234,7 +301,20 @@ def main():
             return float("nan")
 
     with_pallas = os.environ.get("SDFLIB_STAGES_PALLAS", "1") != "0"
+    with_grouped = os.environ.get("SDFLIB_STAGES_GROUPED", "1") != "0"
     t1 = try_timeit("descent", s1_descent, pts)
+    tw3 = try_timeit("sort_packed(win)", s3w_sort_packed, pts)
+    tw5 = try_timeit("window_scan_xla", s5wx_scan_window_xla, pts)
+    tw6 = try_timeit("window_finish", s6w_finish_window, pts)
+    twf = try_timeit("window_full", full, pts)
+    print("--- xla_window path ---")
+    print(f"descent                  {t1*1e3:7.1f} ms")
+    print(f"+packed sort             {tw3*1e3:7.1f} ms  (+{(tw3-t1)*1e3:.1f})")
+    print(f"+window scan (xla)       {tw5*1e3:7.1f} ms  (+{(tw5-tw3)*1e3:.1f})")
+    print(f"+finish+unsort           {tw6*1e3:7.1f} ms  (+{(tw6-tw5)*1e3:.1f})")
+    print(f"full query               {twf*1e3:7.1f} ms  (+{(twf-tw6)*1e3:.1f})")
+    if not with_grouped:
+        return
     t2 = try_timeit("argsort", s2_argsort, pts)
     t3 = try_timeit("permute", s3_permute, pts)
     t3b = try_timeit("lax_sort", s3b_lax_sort, pts)
