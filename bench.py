@@ -58,7 +58,18 @@ def _load_or_build(path: str, build_fn, extra: dict, key: str):
         extra[f"{key}_cache"] = "hit"
         return sdf, None
     t0 = time.perf_counter()
-    sdf = build_fn()
+    # The remote-compile tunnel flakes transiently ("response body closed
+    # before all bytes were read"); a retry resumes from the persistent
+    # compile cache, so it is cheap — and one flake must not cost the
+    # round its numbers (round-3 lesson).
+    for attempt in range(3):
+        try:
+            sdf = build_fn()
+            break
+        except Exception as e:  # pragma: no cover - transport-dependent
+            extra[f"{key}_build_retry{attempt}"] = repr(e)[:120]
+            if attempt == 2:
+                raise
     dt = time.perf_counter() - t0
     os.makedirs(CACHE_DIR, exist_ok=True)
     sdf.save(full)

@@ -49,6 +49,7 @@ def main():
         )
         print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
         if cache:
+            os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
             oct_.save(cache)
     oct_.build_query_grid()
 

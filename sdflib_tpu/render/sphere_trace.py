@@ -139,6 +139,7 @@ def sphere_trace_state(
     far: float = 10.0,
     max_iters: int = 1024,
     distance_step_fn=None,
+    fixed_trips: bool = False,
 ):
     """Resumable batched ray march. ``state`` = (pos, acc, last_d, active)
     per ray; returns the advanced state plus iterations run. Loop semantics
@@ -147,7 +148,13 @@ def sphere_trace_state(
 
     distance_step_fn(pos) -> (d, step) optionally supplies a safe step
     larger than d (e.g. cell-exit skipping through provably empty cells);
-    the hit test always uses d."""
+    the hit test always uses d.
+
+    fixed_trips=True runs exactly max_iters trips (lax.fori_loop) instead
+    of a while_loop: every march step is a serialized latency unit, and
+    the while cond's ``jnp.any(active)`` is a full-batch reduction ON that
+    serial path each step. Large pyramid rounds are sized so the prefix
+    never converges early — there the early-exit test is pure overhead."""
     dirs = jnp.asarray(dirs, jnp.float32)
 
     def cond(carry):
@@ -170,7 +177,12 @@ def sphere_trace_state(
         )
         return it + 1, (new_pos, new_acc, new_last, new_active)
 
-    it, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    if fixed_trips:
+        it, state = jax.lax.fori_loop(
+            0, max_iters, lambda _, c: body(c), (jnp.int32(0), state)
+        )
+    else:
+        it, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     return it, state
 
 
@@ -202,7 +214,7 @@ def sphere_trace(
 
 @partial(jax.jit, static_argnames=("levels", "num_coeff", "interpolation",
                                    "max_iters", "grid_depth", "fast",
-                                   "grid_fat"))
+                                   "grid_fat", "fixed_trips"))
 def _march_state_jit(
     octree_u32,
     grid_u32,     # dense leaf grid, or a dummy when grid_depth is None
@@ -222,6 +234,7 @@ def _march_state_jit(
     grid_depth: int | None = None,
     fast: bool = True,
     grid_fat: bool = False,
+    fixed_trips: bool = False,
 ):
     # The reference shader marches in octree-normalized space with
     # distanceScale = 1/boxSize (RenderSdf.cpp:128). Equivalent here: march
@@ -247,7 +260,7 @@ def _march_state_jit(
     it, state = sphere_trace_state(
         dist_fn, state, dirs,
         eps=eps * box_size, far=far * box_size, max_iters=max_iters,
-        distance_step_fn=dist_step_fn,
+        distance_step_fn=dist_step_fn, fixed_trips=fixed_trips,
     )
     return it, state
 
@@ -380,6 +393,10 @@ def _march_pyramid_jit(
                 interpolation=interpolation,
                 max_iters=k, grid_depth=grid_depth, fast=fast,
                 grid_fat=grid_fat,
+                # Big prefixes never converge inside their round (they
+                # are sized TO the active count): run exact trips and
+                # keep the any(active) reduction off the serial path.
+                fixed_trips=n_blk >= (1 << 16),
             )
 
         Bb = min(B, n_blk)
