@@ -9,13 +9,16 @@ own labeled vs-target ratio).
 Baseline target: 1e9 exact queries/s on a v5p-8 (4 chips) => 2.5e8 per chip;
 vs_baseline = achieved per-chip exact rate / per-chip target.
 
-Structure: the headline stage (exact build-or-load + XLA-scan query sweep)
-runs first; every other stage is OPTIONAL and gated on remaining wall
-budget (SDFLIB_BENCH_BUDGET_S, default 420 s), so one slow stage can never
-starve the JSON line (round 3 lesson: rc=124, nothing reported). Built
-structures are cached under ~/.cache/sdflib_tpu/bench so repeat runs skip
-the d2h-bound builds entirely; a skipped or failed stage reports a
-"skipped"/"error" marker in extra instead of timing out the harness.
+Stage order (round-5 lesson): the CHEAP stages run first — the approx
+build (~15 s warm) plus its query sweep and the 1024^2 sphere trace ride
+ahead of the exact build (minutes cold), so a cold cache can no longer
+starve every metric but the headline (rounds 3 AND 4 both shipped with
+approx/trace/big rows missing for exactly this reason). The exact
+headline stage itself is NOT budget-gated — it always runs; the optional
+stages are gated on remaining wall budget (SDFLIB_BENCH_BUDGET_S, default
+420 s) and report "skipped"/"error" markers instead of timing out the
+harness. Built structures are cached under ~/.cache/sdflib_tpu/bench so
+repeat runs skip the d2h-bound builds entirely.
 """
 from __future__ import annotations
 
@@ -48,6 +51,20 @@ def _bench_mesh(big: bool = False):
     return mesh, mesh.bounding_box.add_margin(0.14)
 
 
+# Error signatures of the remote-compile/transfer tunnel's transient
+# failures; anything else is a real bug and is NOT worth two full-cost
+# rebuild attempts (advisor finding r4).
+_TRANSPORT_MARKERS = (
+    "response body", "deadline", "unavailable", "socket", "connection",
+    "timed out", "timeout", "413", "transport",
+)
+
+
+def _is_transport_error(e: Exception) -> bool:
+    s = repr(e).lower()
+    return any(m in s for m in _TRANSPORT_MARKERS)
+
+
 def _load_or_build(path: str, build_fn, extra: dict, key: str):
     """Returns (sdf, build_seconds_or_None); caches to ``path``."""
     from sdflib_tpu.sdf.sdf_function import SdfFunction
@@ -57,18 +74,20 @@ def _load_or_build(path: str, build_fn, extra: dict, key: str):
         sdf = SdfFunction.load(full)
         extra[f"{key}_cache"] = "hit"
         return sdf, None
-    t0 = time.perf_counter()
     # The remote-compile tunnel flakes transiently ("response body closed
     # before all bytes were read"); a retry resumes from the persistent
     # compile cache, so it is cheap — and one flake must not cost the
-    # round its numbers (round-3 lesson).
+    # round its numbers (round-3 lesson). Deterministic errors re-raise
+    # immediately, and the timer restarts per attempt so the recorded
+    # build time covers only the successful one.
     for attempt in range(3):
+        t0 = time.perf_counter()
         try:
             sdf = build_fn()
             break
         except Exception as e:  # pragma: no cover - transport-dependent
             extra[f"{key}_build_retry{attempt}"] = repr(e)[:120]
-            if attempt == 2:
+            if attempt == 2 or not _is_transport_error(e):
                 raise
     dt = time.perf_counter() - t0
     os.makedirs(CACHE_DIR, exist_ok=True)
@@ -88,8 +107,81 @@ def main():
     per_chip_target = 2.5e8       # 1e9 exact q/s on v5p-8 (4 chips)
     rays_chip_target = 2.5e7      # 1e8 rays/s on v5p-8 (4 chips)
 
-    # ---- headline: exact octree queries/s (always runs first) --------------
     mesh, box = _bench_mesh()
+    lo = np.asarray(box.min) + 1e-4
+    hi = np.asarray(box.max) - 1e-4
+
+    # ---- approximate octree queries/s (cheap: runs FIRST) -------------------
+    # ~15 s warm build vs the exact build's minutes; running it first means
+    # a cold exact build can no longer starve this number (r3+r4 lesson).
+    oct_ = None
+    try:
+        oct_, built_s = _load_or_build(
+            "torus_approx_d6.npz",
+            lambda: OctreeSdf(
+                mesh, box, max_depth=6, start_depth=2,
+                termination_threshold=1e-3,
+                init_algorithm="no_continuity",
+            ),
+            extra, "approx",
+        )
+        if built_s is not None:
+            extra["build_s"] = built_s
+        oct_.build_query_grid()  # O(1)-descent acceleration
+        na = 1 << 22
+        pts = jnp.asarray(
+            np.random.default_rng(1).uniform(lo, hi, (na, 3))
+            .astype(np.float32)
+        )
+        d = oct_.get_distance(pts)
+        float(jnp.sum(d))
+        iters = 8
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            d = oct_.get_distance(pts)
+        float(jnp.sum(d))
+        qps = na * iters / (time.perf_counter() - t0)
+        extra["approx_octree_queries_per_s"] = qps
+        extra["approx_vs_target"] = qps / per_chip_target
+        extra["octree_words_u32"] = int(oct_.octree_data.shape[0])
+        del d, pts
+    except Exception as e:
+        extra["approx_error"] = repr(e)[:200]
+
+    # ---- sphere-traced rays/s (cheap: rides the approx structure) -----------
+    if oct_ is not None and _remaining() > 45:
+        try:
+            from sdflib_tpu.render.sphere_trace import trace_octree
+
+            # image-shaped origins: the tracer tiles 2D beams (beam prepass)
+            R = 1024
+            u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
+            gu, gv = np.meshgrid(u, u)
+            origins = np.stack(
+                [gu, gv, np.full_like(gu, -1.2)], -1
+            ).astype(np.float32)
+            dirs = np.broadcast_to(
+                np.array([0.0, 0.0, 1.0], np.float32), origins.shape
+            ).copy()
+            res = trace_octree(oct_, origins, dirs, max_iters=1024)
+            float(jnp.sum(res.depth))
+            best = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = trace_octree(oct_, origins, dirs, max_iters=1024)
+                float(jnp.sum(res.depth))
+                best = min(best, time.perf_counter() - t0)
+            rays_per_s = R * R / best
+            extra["sphere_trace_rays_per_s"] = rays_per_s
+            extra["rays_vs_target"] = rays_per_s / rays_chip_target
+            del res
+        except Exception as e:
+            extra["trace_error"] = repr(e)[:200]
+    elif oct_ is not None:
+        extra["skipped_trace"] = "budget"
+    del oct_
+
+    # ---- headline: exact octree queries/s (mandatory, never gated) ---------
     ex, built_s = _load_or_build(
         "torus_exact_d6.npz",
         lambda: ExactOctreeSdf(
@@ -102,8 +194,6 @@ def main():
 
     ne = 1 << 21
     rng = np.random.default_rng(0)
-    lo = np.asarray(box.min) + 1e-4
-    hi = np.asarray(box.max) - 1e-4
     epts = jnp.asarray(rng.uniform(lo, hi, (ne, 3)).astype(np.float32))
 
     # HARDWARE oracle check: the pytest suite runs on the CPU mesh only,
@@ -178,74 +268,6 @@ def main():
     extra["exact_qps_by_impl"] = impl_qps
     extra["num_triangles"] = int(mesh.indices.size // 3)
     del de, ex
-
-    # ---- approximate octree queries/s (optional) ----------------------------
-    if _remaining() > 90:
-        try:
-            oct_, built_s = _load_or_build(
-                "torus_approx_d6.npz",
-                lambda: OctreeSdf(
-                    mesh, box, max_depth=6, start_depth=2,
-                    termination_threshold=1e-3,
-                    init_algorithm="no_continuity",
-                ),
-                extra, "approx",
-            )
-            if built_s is not None:
-                extra["build_s"] = built_s
-            oct_.build_query_grid()  # O(1)-descent acceleration
-            na = 1 << 22
-            pts = jnp.asarray(
-                rng.uniform(lo, hi, (na, 3)).astype(np.float32)
-            )
-            d = oct_.get_distance(pts)
-            float(jnp.sum(d))
-            iters = 8
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                d = oct_.get_distance(pts)
-            float(jnp.sum(d))
-            qps = na * iters / (time.perf_counter() - t0)
-            extra["approx_octree_queries_per_s"] = qps
-            extra["approx_vs_target"] = qps / per_chip_target
-            extra["octree_words_u32"] = int(oct_.octree_data.shape[0])
-            del d, pts
-        except Exception as e:
-            extra["approx_error"] = repr(e)[:200]
-            oct_ = None
-    else:
-        extra["skipped_approx"] = "budget"
-        oct_ = None
-
-    # ---- sphere-traced rays/s (optional) ------------------------------------
-    if oct_ is not None and _remaining() > 60:
-        try:
-            from sdflib_tpu.render.sphere_trace import trace_octree
-
-            # image-shaped origins: the tracer tiles 2D beams (beam prepass)
-            R = 1024
-            u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
-            gu, gv = np.meshgrid(u, u)
-            origins = np.stack(
-                [gu, gv, np.full_like(gu, -1.2)], -1
-            ).astype(np.float32)
-            dirs = np.broadcast_to(
-                np.array([0.0, 0.0, 1.0], np.float32), origins.shape
-            ).copy()
-            res = trace_octree(oct_, origins, dirs, max_iters=1024)
-            float(jnp.sum(res.depth))
-            t0 = time.perf_counter()
-            res = trace_octree(oct_, origins, dirs, max_iters=1024)
-            float(jnp.sum(res.depth))
-            rays_per_s = R * R / (time.perf_counter() - t0)
-            extra["sphere_trace_rays_per_s"] = rays_per_s
-            extra["rays_vs_target"] = rays_per_s / rays_chip_target
-            del res
-        except Exception as e:
-            extra["trace_error"] = repr(e)[:200]
-    elif oct_ is not None:
-        extra["skipped_trace"] = "budget"
-    del oct_
 
     # ---- real-mesh scale: >=100k-triangle build + query (optional) ----------
     # (BASELINE configs name Armadillo/Thingi10K-scale meshes; no assets in

@@ -153,16 +153,16 @@ def sphere_trace_state(
     fixed_trips=True runs exactly max_iters trips (lax.fori_loop) instead
     of a while_loop: every march step is a serialized latency unit, and
     the while cond's ``jnp.any(active)`` is a full-batch reduction ON that
-    serial path each step. Large pyramid rounds are sized so the prefix
-    never converges early — there the early-exit test is pure overhead."""
+    serial path each step (it gates whether the next trip runs). Large
+    pyramid rounds are sized so the prefix never converges early — there
+    the early-exit test is pure overhead. The returned iteration count
+    stays accurate either way: the fixed loop tracks the last trip entered
+    with any active lane, a reduction that runs in PARALLEL with the next
+    trip's gather (nothing downstream depends on it inside the loop)."""
     dirs = jnp.asarray(dirs, jnp.float32)
 
-    def cond(carry):
-        it, (pos, acc, last_d, active) = carry
-        return jnp.logical_and(it < max_iters, jnp.any(active))
-
-    def body(carry):
-        it, (pos, acc, last_d, active) = carry
+    def step_fn(st):
+        pos, acc, last_d, active = st
         if distance_step_fn is not None:
             d, step = distance_step_fn(pos)
         else:
@@ -175,14 +175,28 @@ def sphere_trace_state(
             active * (new_last > eps).astype(jnp.float32)
             * (new_acc < far).astype(jnp.float32)
         )
-        return it + 1, (new_pos, new_acc, new_last, new_active)
+        return new_pos, new_acc, new_last, new_active
 
     if fixed_trips:
-        it, state = jax.lax.fori_loop(
-            0, max_iters, lambda _, c: body(c), (jnp.int32(0), state)
-        )
+        def body(i, carry):
+            last, st = carry
+            last = jnp.where(jnp.any(st[3] > 0), i + 1, last)
+            return last, step_fn(st)
+
+        # int carry derives from the state so its varying-axes type under
+        # shard_map matches the data-dependent loop output
+        it0 = (state[3][(0,) * state[3].ndim] * 0).astype(jnp.int32)
+        it, state = jax.lax.fori_loop(0, max_iters, body, (it0, state))
     else:
-        it, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        def cond(carry):
+            it, st = carry
+            return jnp.logical_and(it < max_iters, jnp.any(st[3] > 0))
+
+        def wbody(carry):
+            it, st = carry
+            return it + 1, step_fn(st)
+
+        it, state = jax.lax.while_loop(cond, wbody, (jnp.int32(0), state))
     return it, state
 
 
@@ -522,11 +536,11 @@ def _beam_prepass_jit(
         new_active = active * (step > 0.0) * (new_acc < far)
         return it + 1, new_pos, new_acc, new_active
 
-    B = origins.shape[0]
+    # zero/one carries derive from origins so their varying-axes type under
+    # shard_map matches the loop outputs (invariant constants would not)
+    zb = origins[:, 0] * 0.0
     _, _, acc, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), origins, jnp.zeros(B, jnp.float32),
-         jnp.ones(B, jnp.float32)),
+        cond, body, (jnp.int32(0), origins, zb, zb + 1.0)
     )
     return acc
 
@@ -564,6 +578,143 @@ _TRACE_BLOCK = 1 << 17
 # every march step is one data-dependent gather, the tracer's measured
 # unit cost.
 _FIRST_ROUND_ITERS = 8
+
+
+def _build_pyramid_schedule(Rp: int, max_iters: int, B: int) -> tuple:
+    """Static ((iters, prefix), ...) pyramid: rounds grow geometrically in
+    iterations while their prefixes shrink with the measured geometric decay
+    of active rays (PERF.md §3). Shared by the single-chip scheduler and the
+    fused per-shard trace so both march identical trajectories."""
+    schedule = []
+    k, rem = min(_FIRST_ROUND_ITERS, max_iters), max_iters
+    for div in (1, 8, 32, 128, 256, 512):
+        if rem <= 0:
+            break
+        nbk = max(Rp // div, min(1 << 10, Rp))
+        if nbk >= B:
+            nbk = min(-(-nbk // B) * B, Rp)   # whole B-blocks
+        else:
+            nbk = 1 << (max(nbk - 1, 1)).bit_length()  # pow2 <= B
+        schedule.append((min(k, rem), nbk))
+        rem -= k
+        k = min(k * 2, 256)
+    return tuple(schedule)
+
+
+def _trace_rays_fused(
+    octree_u32,
+    grid_u32,
+    thin_grid_u32,  # thin query grid for normals, or a dummy
+    o,            # (Rl, 3) ray origins (already padded)
+    d,            # (Rl, 3) unit directions (padding rows unit-x)
+    active0,      # (Rl,) 1.0 for real rays, 0.0 for padding
+    box_min,
+    box_size,
+    start_grid_size,
+    min_border_value,
+    eps,
+    far,
+    *,
+    levels: int,
+    num_coeff: int,
+    interpolation: str,
+    max_iters: int,
+    grid_depth: int | None,
+    fast: bool,
+    grid_fat: bool,
+    B: int,
+    beam: int | None,
+    beam_margin: float,
+    normals_grid_depth: int | None,
+):
+    """The WHOLE trace as one traceable program with NO host syncs: beam
+    prepass (flat consecutive-ray tiles), static march pyramid, then an
+    early-exiting full-width while_loop for any stragglers the pyramid's
+    prefixes missed. Safe to wrap in jax.shard_map — every op is local to
+    the shard (reductions like the while cond's any(active) stay per-shard),
+    so rays scale with zero communication (SURVEY.md S5.7: rays are pure
+    DP). The dynamic scheduler in trace_octree syncs an active count to the
+    host between rounds; under GSPMD those global sorts/prefix-slices turned
+    into cross-device resharding and collapsed throughput 7x on the r4
+    scaling curve — this fused form replaces it on the sharded path."""
+    Rl = o.shape[0]
+    common = (box_min, box_size, start_grid_size, min_border_value, eps, far)
+    statics = dict(
+        levels=levels, num_coeff=num_coeff, interpolation=interpolation,
+        grid_depth=grid_depth, fast=fast, grid_fat=grid_fat,
+    )
+
+    # Derive the zero/inf initial carries from a sharded input: under
+    # shard_map, while_loop carries must enter with the same varying-axes
+    # type they leave with, and a plain jnp.zeros is axis-invariant.
+    zero_v = o[:, 0] * 0.0
+    start_t = zero_v
+    if beam is not None and Rl >= beam * beam:
+        bb = beam * beam
+        seg = jnp.asarray(np.arange(Rl) // bb, jnp.int32)
+        ntiles = -(-Rl // bb)
+        o_c, d_c, r0, rd = _beam_setup_jit(o, d, seg, ntiles=ntiles)
+        beam_t = _beam_prepass_jit(
+            octree_u32, grid_u32, o_c, d_c, r0, rd,
+            *common[:4], jnp.float32(beam_margin),
+            far * box_size, max_iters=256, **statics,
+        )
+        start_t = beam_t[seg]
+
+    state = (
+        o + d * start_t[:, None],
+        start_t + zero_v,
+        zero_v + jnp.inf,
+        active0,
+    )
+    perm = jnp.arange(Rl)
+    iters_used = jnp.zeros(Rl, jnp.int32)
+    d_cur = d
+    remaining = max_iters
+
+    if Rl >= (1 << 15) and max_iters >= 64:
+        schedule = _build_pyramid_schedule(Rl, max_iters, B)
+        state, d_cur, perm, iters_used, _ = _march_pyramid_jit(
+            octree_u32, grid_u32, state, d_cur, perm, iters_used,
+            *common, **statics, schedule=schedule, B=B,
+        )
+        # Budget = what the least-marched active ray may still need (a ray
+        # overflowing every prefix was only offered the first round).
+        remaining = max(max_iters - schedule[0][0], 0)
+
+    if remaining > 0:
+        # Stragglers finish in one early-exiting while_loop over the full
+        # shard: actives sit compacted at the front after the pyramid, and
+        # the loop exits on the first trip when none are left — the common
+        # case — so the full-width trips only happen when real work exists.
+        act_in = state[3]
+        it, state = _march_state_jit(
+            octree_u32, grid_u32, state, d_cur, *common,
+            max_iters=remaining, **statics,
+        )
+        iters_used = iters_used.at[perm].add(
+            jnp.where(act_in > 0, it, 0)
+        )
+
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(Rl))
+    state = jax.tree.map(lambda a: a[inv], state)
+    pos, acc, last_d, _ = state
+    hit = last_d <= eps * box_size
+
+    if normals_grid_depth is not None:
+        _, normal = _octree_query_grid(
+            octree_u32, thin_grid_u32, pos, box_min, box_size,
+            min_border_value,
+            grid_depth=normals_grid_depth, num_coeff=num_coeff,
+            interpolation=interpolation, with_gradient=True,
+        )
+    else:
+        normal = _trace_normals_jit(
+            octree_u32, pos, *common[:4],
+            levels=levels, num_coeff=num_coeff,
+            interpolation=interpolation, fast=fast,
+        )
+    return hit, pos, acc, normal, iters_used
 
 
 def trace_octree(
@@ -691,24 +842,12 @@ def trace_octree(
     # prefix are caught by the single post-pyramid sync and finish in the
     # exact dynamic loop below.
     if pyramid and Rp >= (1 << 15) and max_iters >= 64:
-        schedule = []
-        k, rem = round_iters, max_iters
-        for div in (1, 8, 32, 128, 256, 512):
-            if rem <= 0:
-                break
-            nbk = max(Rp // div, min(1 << 10, Rp))
-            if nbk >= B:
-                nbk = min(-(-nbk // B) * B, Rp)   # whole B-blocks
-            else:
-                nbk = 1 << (max(nbk - 1, 1)).bit_length()  # pow2 <= B
-            schedule.append((min(k, rem), nbk))
-            rem -= k
-            k = min(k * 2, 256)
+        schedule = _build_pyramid_schedule(Rp, max_iters, B)
         state, d_cur, perm, iters_used, n_act = _march_pyramid_jit(
             octree.octree_data, grid_arr, state, d_cur, perm, iters_used,
             *common,
             **statics,
-            schedule=tuple(schedule), B=B,
+            schedule=schedule, B=B,
         )
         n_cur = int(n_act)       # the frame's single host sync
         # Cleanup budget = what the LEAST-marched active ray may still

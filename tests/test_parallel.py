@@ -116,8 +116,10 @@ def test_scaling_throughput_bounds():
     ONE physical core, so per-device efficiency is 1/N by construction and
     the meaningful plumbing assertion is that TOTAL sharded throughput
     stays close to the single-device total (the sharding itself must not
-    shrink the pie). On real multi-chip TPU the >= 85%/device bar applies.
-    The measured 1->8 curve is committed as SCALING_r04.json."""
+    shrink the pie) — for QUERIES and for RAYS (the r4 curve showed rays
+    collapsing 7x while queries stayed flat; the shard_map'd fused trace
+    fixes that and this bound keeps it fixed). On real multi-chip TPU the
+    >= 85%/device bar applies. The measured curve is SCALING_r05.json."""
     import time
 
     mesh_geo = make_icosphere(subdivisions=1, radius=0.35)
@@ -131,8 +133,14 @@ def test_scaling_throughput_bounds():
         oct_.box.min + 1e-4, oct_.box.max - 1e-4, (n, 3)
     ).astype(np.float32)
 
+    nr = 1 << 15
+    u = rng.uniform(-0.5, 0.5, (nr, 2)).astype(np.float32)
+    origins = np.concatenate([u, np.full((nr, 1), -1.2, np.float32)], -1)
+    ray_dirs = np.tile([[0.0, 0.0, 1.0]], (nr, 1)).astype(np.float32)
+
     devices = jax.devices()
     rates = {}
+    ray_rates = {}
     for c in (1, len(devices)):
         m = parallel.default_mesh(devices[:c])
         d = parallel.sharded_distance(oct_, pts, m)
@@ -144,11 +152,26 @@ def test_scaling_throughput_bounds():
             jax.block_until_ready(d)
             best = min(best, time.perf_counter() - t0)
         rates[c] = n / best
+
+        r = parallel.sharded_trace(oct_, origins, ray_dirs, m, max_iters=256)
+        jax.block_until_ready(r.depth)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = parallel.sharded_trace(oct_, origins, ray_dirs, m,
+                                       max_iters=256)
+            jax.block_until_ready(r.depth)
+            best = min(best, time.perf_counter() - t0)
+        ray_rates[c] = nr / best
     n_dev = len(devices)
     if jax.default_backend() == "tpu" and n_dev > 1:
         eff = rates[n_dev] / (rates[1] * n_dev)
-        assert eff >= 0.85, f"per-device scaling efficiency {eff:.2%}"
+        assert eff >= 0.85, f"per-device query scaling efficiency {eff:.2%}"
+        reff = ray_rates[n_dev] / (ray_rates[1] * n_dev)
+        assert reff >= 0.85, f"per-device ray scaling efficiency {reff:.2%}"
     else:
         # shared-core virtual mesh: sharding overhead must not eat the pie
         total = rates[n_dev] / rates[1]
-        assert total >= 0.35, f"sharded total collapsed to {total:.2%}"
+        assert total >= 0.35, f"sharded query total collapsed to {total:.2%}"
+        rtotal = ray_rates[n_dev] / ray_rates[1]
+        assert rtotal >= 0.35, f"sharded ray total collapsed to {rtotal:.2%}"
