@@ -580,16 +580,28 @@ _TRACE_BLOCK = 1 << 17
 _FIRST_ROUND_ITERS = 8
 
 
-def _build_pyramid_schedule(Rp: int, max_iters: int, B: int) -> tuple:
+def _build_pyramid_schedule(
+    Rp: int, max_iters: int, B: int, dense: bool = False
+) -> tuple:
     """Static ((iters, prefix), ...) pyramid: rounds grow geometrically in
     iterations while their prefixes shrink with the measured geometric decay
     of active rays (PERF.md §3). Shared by the single-chip scheduler and the
-    fused per-shard trace so both march identical trajectories."""
+    fused per-shard trace so both march identical trajectories.
+
+    dense=True slows the prefix shrink (for beam-less traces: without the
+    prepass most rays are still marching the empty-space approach after the
+    first rounds, and the beam-tuned prefixes would dump them into the
+    full-width straggler path — measured as a 14x single-device rays/s
+    collapse on the CPU mesh). Both variants PAD tail rounds at the final
+    divisor until the whole iteration budget is covered: a padded round is
+    a tiny prefix (cheap) and every ray it retires skips the full-width
+    cleanup loop entirely."""
+    divs = (1, 1, 2, 4, 8, 16, 32, 64) if dense else (1, 8, 32, 128, 256, 512)
     schedule = []
     k, rem = min(_FIRST_ROUND_ITERS, max_iters), max_iters
-    for div in (1, 8, 32, 128, 256, 512):
-        if rem <= 0:
-            break
+    i = 0
+    while rem > 0:
+        div = divs[min(i, len(divs) - 1)]
         nbk = max(Rp // div, min(1 << 10, Rp))
         if nbk >= B:
             nbk = min(-(-nbk // B) * B, Rp)   # whole B-blocks
@@ -598,6 +610,7 @@ def _build_pyramid_schedule(Rp: int, max_iters: int, B: int) -> tuple:
         schedule.append((min(k, rem), nbk))
         rem -= k
         k = min(k * 2, 256)
+        i += 1
     return tuple(schedule)
 
 
@@ -649,7 +662,8 @@ def _trace_rays_fused(
     # type they leave with, and a plain jnp.zeros is axis-invariant.
     zero_v = o[:, 0] * 0.0
     start_t = zero_v
-    if beam is not None and Rl >= beam * beam:
+    beam_on = beam is not None and Rl >= beam * beam
+    if beam_on:
         bb = beam * beam
         seg = jnp.asarray(np.arange(Rl) // bb, jnp.int32)
         ntiles = -(-Rl // bb)
@@ -673,7 +687,9 @@ def _trace_rays_fused(
     remaining = max_iters
 
     if Rl >= (1 << 15) and max_iters >= 64:
-        schedule = _build_pyramid_schedule(Rl, max_iters, B)
+        schedule = _build_pyramid_schedule(
+            Rl, max_iters, B, dense=not beam_on
+        )
         state, d_cur, perm, iters_used, _ = _march_pyramid_jit(
             octree_u32, grid_u32, state, d_cur, perm, iters_used,
             *common, **statics, schedule=schedule, B=B,
@@ -790,7 +806,8 @@ def trace_octree(
     grid_arr = grid if grid is not None else jnp.zeros((1, 2), jnp.uint32)
 
     start_t = jnp.zeros(Rp, jnp.float32)
-    if beam is not None and R >= beam * beam:
+    beam_on = beam is not None and R >= beam * beam
+    if beam_on:
         bb = beam * beam
         if len(shape) == 3 and shape[0] % beam == 0 and shape[1] % beam == 0:
             H, W = shape[0], shape[1]
@@ -842,7 +859,9 @@ def trace_octree(
     # prefix are caught by the single post-pyramid sync and finish in the
     # exact dynamic loop below.
     if pyramid and Rp >= (1 << 15) and max_iters >= 64:
-        schedule = _build_pyramid_schedule(Rp, max_iters, B)
+        schedule = _build_pyramid_schedule(
+            Rp, max_iters, B, dense=not beam_on
+        )
         state, d_cur, perm, iters_used, n_act = _march_pyramid_jit(
             octree.octree_data, grid_arr, state, d_cur, perm, iters_used,
             *common,

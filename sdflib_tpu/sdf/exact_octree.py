@@ -26,6 +26,7 @@ Key re-design decisions (SURVEY.md S2.4.7):
 from __future__ import annotations
 
 import os
+import time
 from functools import partial
 
 import numpy as np
@@ -1166,6 +1167,10 @@ def _build_exact(
     leaf_center_chunks: list[np.ndarray] = []
     leaf_counter = 0
     stats: dict = {"nodes_per_depth": {}, "tris_per_leaf": []}
+    # Wall-time attribution (host-orchestrated build: the kcounts sync
+    # absorbs all queued device work, so boundaries are meaningful).
+    phase = {"cull": 0.0, "leaf_stage": 0.0, "child_prep": 0.0, "csr": 0.0}
+    stats["phase_s"] = phase
 
     # Per-level node GROUPS bucketed by candidate width (x4 buckets): one
     # fat equidistant-shell node no longer forces its whole level to its
@@ -1248,6 +1253,7 @@ def _build_exact(
         next_buckets: dict[int, list] = {}
 
         for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
+            _pt0 = time.perf_counter()
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
             # Never pad a small group up to the pair budget: coarse levels
@@ -1289,6 +1295,8 @@ def _build_exact(
                 kc_dev = parts[0][1][:N]
                 sqd_cen = parts[0][2][:N]
             kcounts = np.asarray(kc_dev)
+            _pt1 = time.perf_counter()
+            phase["cull"] += _pt1 - _pt0
 
             terminal = (kcounts <= min_triangles_per_node) | (
                 depth == max_depth
@@ -1325,6 +1333,9 @@ def _build_exact(
                         leaf_ids.astype(np.uint32) | IS_LEAF_MASK,
                     )
                 )
+
+            _pt2 = time.perf_counter()
+            phase["leaf_stage"] += _pt2 - _pt1
 
             sub = np.nonzero(~terminal)[0]
             if len(sub) == 0:
@@ -1363,6 +1374,7 @@ def _build_exact(
                      np.repeat(kc_sub[m], 8))
                 )
             del keeps
+            phase["child_prep"] += time.perf_counter() - _pt2
 
         # Merge same-width buckets into one group each and queue the next
         # level (LIFO: this subtree's children build before any sibling
@@ -1381,6 +1393,7 @@ def _build_exact(
         if merged:
             work.append((merged, depth + 1, half * 0.5))
 
+    _pt3 = time.perf_counter()
     # Pad the node array to whole 8-word rows for the row-gather descent.
     tail = (-total_len) % 64
     if tail:
@@ -1433,6 +1446,7 @@ def _build_exact(
             leaf_centers,
             [(0, max(leaf_counter, 1) - leaf_centers.shape[0]), (0, 0)],
         )
+    phase["csr"] = time.perf_counter() - _pt3
     return octree, leaf_offset, leaf_count, tri_flat, leaf_centers, stats
 
 
@@ -1662,8 +1676,10 @@ class ExactOctreeSdf(SdfFunction):
         self.min_triangles_per_node = int(min_triangles_per_node)
         self.strategy = strategy
 
+        _t0 = time.perf_counter()
         soa = calculate_mesh_triangle_data(mesh)
         self.triangles: TriangleDataSoA = jax.tree.map(jnp.asarray, soa)
+        _t1 = time.perf_counter()
         octree, leaf_offset, leaf_count, tri_flat, leaf_centers, stats = (
             _build_exact(
                 soa,
@@ -1690,12 +1706,20 @@ class ExactOctreeSdf(SdfFunction):
         self.build_stats = stats
         self.scan_chunk = _LEAF_CHUNK
         self._group_width_cache = {}
+        _t2 = time.perf_counter()
         self._make_buckets()
+        _t3 = time.perf_counter()
         self._default_scan_impl()
         self._leaf_grid = None
         self._leaf_grid_packed = None
         if self.max_depth <= self._AUTO_GRID_DEPTH:
             self.build_query_grid()
+        stats["phase_s"].update(
+            triangles=_t1 - _t0,
+            level_loop=_t2 - _t1 - stats["phase_s"]["csr"],
+            buckets=_t3 - _t2,
+            grid=time.perf_counter() - _t3,
+        )
 
     # Denormalized field buckets above this byte size fall back to
     # per-query field gathers (slower, O(T) memory instead of O(slots)).

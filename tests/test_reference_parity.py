@@ -252,3 +252,108 @@ def test_our_exact_bin_decodes_in_cpp():
     rt = np.load(os.path.join(DATA, "exact_bin_roundtrip.npz"))
     np.testing.assert_array_equal(rt["points"], g["points"])
     np.testing.assert_allclose(rt["dist"], g["exact_dist"], atol=2e-5)
+
+
+class _NativeEvalProxy:
+    """Duck-typed SDF whose get_distance runs through the native C++ shim
+    while every structural attribute (box, octree arrays for the node-grid
+    overlay) comes from the JAX-loaded twin — so an image rendered through
+    it differs from the JAX render ONLY by the evaluator."""
+
+    def __init__(self, jax_sdf, native_sdf):
+        self._jax = jax_sdf
+        self._native = native_sdf
+
+    def __getattr__(self, name):
+        return getattr(self._jax, name)
+
+    def get_distance(self, points):
+        p = np.asarray(points, np.float32)
+        return self._native.get_distance(p.reshape(-1, 3)).reshape(
+            p.shape[:-1]
+        )
+
+
+def _load_cpp_bin_twins():
+    from sdflib_tpu.io.sdflib_binary import load_sdflib_bin
+    from sdflib_tpu.native import NativeSdf, native_available
+
+    if not native_available():
+        pytest.skip("g++ toolchain unavailable")
+    path = os.path.join(DATA, "octree_torus_cpp.bin")
+    return load_sdflib_bin(path), NativeSdf.load(path)
+
+
+def test_plane_cut_pixels_match_native():
+    """BASELINE image parity: the plane-cut frame (sdfOctreePlane.frag:18-52
+    semantics) rendered from the C++-written golden .bin must be
+    pixel-equal whether the distance field is evaluated by the JAX query
+    or the native shim's C++ walk."""
+    from sdflib_tpu.render.plane_cut import render_plane_cut
+
+    jax_sdf, native_sdf = _load_cpp_bin_twins()
+    img_jax = render_plane_cut(jax_sdf, resolution=128)
+    img_nat = render_plane_cut(
+        _NativeEvalProxy(jax_sdf, native_sdf), resolution=128
+    )
+    diff = np.abs(img_jax - img_nat)
+    # evaluator deltas are ~1e-6 in distance; the shader's steep x^8 bands
+    # amplify that near edges, so bound the mean tightly and allow only a
+    # vanishing fraction of visibly-different pixels
+    assert diff.mean() < 2e-3, f"mean pixel diff {diff.mean()}"
+    assert (diff.max(axis=-1) > 0.05).mean() < 1e-3
+
+
+def test_sphere_trace_pixels_match_native():
+    """BASELINE image parity for the ray-marched frame: trace_octree's
+    raycast semantics (sdfOctreeRender.comp:392-409 — step by max(d, 0),
+    hit at d <= eps, give up past far) reproduced with the NATIVE
+    evaluator on the host must yield the same hit mask and depths as the
+    JAX tracer on the same golden .bin (beam/grid acceleration off: both
+    sides march plain max(d, 0) steps, so trajectories are comparable)."""
+    from sdflib_tpu.render.sphere_trace import trace_octree
+
+    jax_sdf, native_sdf = _load_cpp_bin_twins()
+    R = 64
+    u = (np.arange(R, dtype=np.float32) + 0.5) / R - 0.5
+    gu, gv = np.meshgrid(u, u)
+    origins = np.stack(
+        [gu * 0.9, gv * 0.9, np.full_like(gu, -1.1)], -1
+    ).astype(np.float32)
+    dirs = np.broadcast_to(
+        np.array([0.0, 0.0, 1.0], np.float32), origins.shape
+    ).copy()
+    eps, far, max_iters = 1e-4, 3.0, 192
+
+    res = trace_octree(
+        jax_sdf, origins, dirs, eps=eps, far=far, max_iters=max_iters,
+        beam=None, pyramid=False,
+    )
+
+    # host-side reference march through the native evaluator
+    box_size = float(jax_sdf.box.size[0])
+    pos = origins.reshape(-1, 3).copy()
+    d_flat = dirs.reshape(-1, 3)
+    acc = np.zeros(pos.shape[0], np.float32)
+    last = np.full(pos.shape[0], np.inf, np.float32)
+    active = np.ones(pos.shape[0], bool)
+    for _ in range(max_iters):
+        if not active.any():
+            break
+        d = native_sdf.get_distance(pos[active]).astype(np.float32)
+        step = np.maximum(d, 0.0)
+        pos[active] += d_flat[active] * step[:, None]
+        acc[active] += step
+        last[active] = d
+        active[active.copy()] = (d > eps * box_size) & (
+            acc[active] < far * box_size
+        )
+    hit_nat = (last <= eps * box_size).reshape(R, R)
+
+    hit_jax = np.asarray(res.hit)
+    agree = (hit_jax == hit_nat).mean()
+    assert agree > 0.998, f"hit masks agree on {agree:.2%}"
+    both = hit_jax & hit_nat
+    np.testing.assert_allclose(
+        np.asarray(res.depth)[both], acc.reshape(R, R)[both], atol=1e-3
+    )
