@@ -119,17 +119,22 @@ def _lattice_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
     pz = centers[:, 2:3]
     qh = 0.5 * half
     slack = jnp.sqrt(jnp.asarray(3.0, centers.dtype)) * qh
+    offs = jnp.asarray(_LATTICE_OFFS, centers.dtype) * half  # (27, 3)
 
-    keep = jnp.zeros(cand_idx.shape, bool)
-    sqd_center = None
-    for l in range(27):
-        off = jnp.asarray(_LATTICE_OFFS[l]) * half
+    # ROLLED anchor loop (lax.fori_loop), not a 27x python unroll: the
+    # executable is what a process pays to compile-or-load on each
+    # variant's first call (measured as ~98% of cold build wall time
+    # through the remote transport), and rolling shrinks the program ~27x
+    # for identical device work.
+    def anchor_step(l, carry):
+        keep, sqd_c = carry
+        off = offs[l]
         sqd_l = sq_dist_packed(
             px + off[0], py + off[1], pz + off[2], fields
         )
         sqd_l = jnp.where(cand_valid, sqd_l, jnp.inf)
-        if l == 13:  # (0,0,0): the node center — reused as the leaf sort key
-            sqd_center = sqd_l
+        # (0,0,0) = anchor 13: the node center — reused as the leaf sort key
+        sqd_c = jnp.where(l == 13, sqd_l, sqd_c)
         min_l = jnp.sqrt(jnp.min(sqd_l, axis=1))     # (C,)
 
         anchor = centers + off[None]                 # (C, 3)
@@ -142,8 +147,12 @@ def _lattice_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
         bound_a = d_lb <= min_l[:, None] + slack
         cap_b = min_l[:, None] + 2.0 * slack
         bound_b = sqd_l <= cap_b * cap_b
-        keep = keep | (bound_a & bound_b)
+        return keep | (bound_a & bound_b), sqd_c
 
+    keep, sqd_center = jax.lax.fori_loop(
+        0, 27, anchor_step,
+        (jnp.zeros(cand_idx.shape, bool), jnp.zeros(cand_idx.shape)),
+    )
     keep = keep & cand_valid
     return keep, jnp.sum(keep, axis=1), sqd_center
 
@@ -1082,7 +1091,7 @@ def _build_exact(
     strategy: str = "lattice",
     futility: float | None = 0.8,
     seed_cells: tuple[int, int] | None = None,
-    entry_budget: int = 1 << 26,
+    entry_budget: int = 1 << 27,
     shared_tables=None,
 ):
     """Level-synchronous exact-octree build. Returns (octree_u32, leaf_tris,
@@ -1169,7 +1178,8 @@ def _build_exact(
     stats: dict = {"nodes_per_depth": {}, "tris_per_leaf": []}
     # Wall-time attribution (host-orchestrated build: the kcounts sync
     # absorbs all queued device work, so boundaries are meaningful).
-    phase = {"cull": 0.0, "leaf_stage": 0.0, "child_prep": 0.0, "csr": 0.0}
+    phase = {"cull": 0.0, "cull_enqueue": 0.0, "cull_sync": 0.0,
+             "leaf_stage": 0.0, "child_prep": 0.0, "csr": 0.0}
     stats["phase_s"] = phase
 
     # Per-level node GROUPS bucketed by candidate width (x4 buckets): one
@@ -1252,23 +1262,26 @@ def _build_exact(
         # children buckets: width -> list of (centers, cand, valid, slots)
         next_buckets: dict[int, list] = {}
 
+        # Dispatch EVERY group's cull before the first sync: the host-side
+        # leaf/child staging of group i then overlaps the device executing
+        # group i+1's cull instead of serializing behind it.
+        culled = []
         for centers_g, cand_g, valid_g, slots_g, pkc_g in groups:
             _pt0 = time.perf_counter()
             N, K = cand_g.shape
             C = max(8, _round_pow2(max(1, pair_budget // max(K, 1)), 1) // 2)
-            # Never pad a small group up to the pair budget: coarse levels
-            # have few nodes, and padding 8 rows to a budget-sized chunk
-            # compiled a 65k-row kernel and ran it 8000x wasted (measured
-            # 33 s per compile for the Frank-Wolfe strategies on CPU).
-            C = min(C, _round_pow2(N, 8))
-            # Fixed-size SUPER-chunks: the lax.map length inside
-            # _cull_group must be static or every distinct group size
-            # compiles a fresh variant (measured as a 30x build blowup in
-            # remote compiles). Up to 16 chunks per dispatch cuts the
-            # eager dispatch count 16x vs the per-chunk loop; the length
-            # is power-of-2-capped so the compile-variant count stays at a
-            # few per (C, K) shape.
-            SC = C * min(16, _round_pow2(-(-N // C), 1))
+            # EXACTLY TWO dispatch shapes per K class: (C, K) for small
+            # groups and (16C, K) super-chunks for large ones. Every
+            # distinct (rows, K) shape is a fresh executable, and a
+            # double-build probe measured the per-process first call of
+            # each variant (compile-or-load through the remote transport)
+            # as ~98% of build wall time — 696 s cold vs 17 s with warm
+            # executables on the bench torus. Padding a group up to the
+            # canonical shape wastes masked pair evals (device-cheap,
+            # <~1 s/build); one more variant wastes tens of seconds per
+            # process. 16 chunks per dispatch keeps the eager dispatch
+            # count 16x below the per-chunk loop.
+            SC = C if N <= C else C * 16
             pad = (-N) % SC
             cn, ci, cv = centers_g, cand_g, valid_g
             if pad:
@@ -1276,6 +1289,14 @@ def _build_exact(
                 ci = jnp.pad(ci, [(0, pad), (0, 0)])
                 cv = jnp.pad(cv, [(0, pad), (0, 0)])
             geo = aabbs if strategy == "lattice" else vworld
+            # one executable variant per distinct (rows=SC, K, C): track
+            # them — each first call per process pays a compile-or-load
+            # through the remote transport
+            stats.setdefault("cull_shapes", {})
+            key = (SC, K, C)
+            stats["cull_shapes"][key] = (
+                stats["cull_shapes"].get(key, 0) + (N + pad) // SC
+            )
             parts = []
             for i in range(0, N + pad, SC):
                 parts.append(_cull_group(
@@ -1294,9 +1315,20 @@ def _build_exact(
                 keeps = parts[0][0][:N]
                 kc_dev = parts[0][1][:N]
                 sqd_cen = parts[0][2][:N]
+            phase["cull_enqueue"] += time.perf_counter() - _pt0
+            culled.append(
+                (centers_g, cand_g, slots_g, pkc_g, keeps, kc_dev, sqd_cen)
+            )
+
+        for centers_g, cand_g, slots_g, pkc_g, keeps, kc_dev, sqd_cen in (
+            culled
+        ):
+            _pt05 = time.perf_counter()
             kcounts = np.asarray(kc_dev)
             _pt1 = time.perf_counter()
-            phase["cull"] += _pt1 - _pt0
+            phase["cull_sync"] += _pt1 - _pt05
+            phase["cull"] += _pt1 - _pt05
+            K = cand_g.shape[1]
 
             terminal = (kcounts <= min_triangles_per_node) | (
                 depth == max_depth
@@ -1355,6 +1387,22 @@ def _build_exact(
             wclass = np.ones_like(kc_sub) * 8
             while np.any(wclass < kc_sub):
                 wclass = np.where(wclass < kc_sub, wclass * 4, wclass)
+
+            # Merge SMALL classes into the next wider present class: a
+            # class worth < one pair-budget chunk of work adds more in
+            # fresh executable variants (each first call per process pays
+            # a compile-or-load through the remote transport, measured as
+            # the DOMINANT share of build wall time — cull_sync 519 s of a
+            # 599 s build, ~15 distinct (SC, K, C) variants) than its
+            # narrower width saves in padded pair evals.
+            present = np.unique(wclass)
+            for j in range(len(present) - 1):
+                w = present[j]
+                m = wclass == w
+                # x8: children inherit the class; the merged group carries
+                # 8 rows per parent below
+                if 8 * int(m.sum()) * int(w) < pair_budget:
+                    wclass[m] = present[j + 1]
 
             child_offsets = jnp.asarray(_CORNER_OFFS)
             for w in np.unique(wclass):
@@ -1661,7 +1709,7 @@ class ExactOctreeSdf(SdfFunction):
         min_triangles_per_node: int = 128,
         strategy: str = "lattice",
         futility: float | None = 0.8,
-        entry_budget: int = 1 << 26,
+        entry_budget: int = 1 << 27,
         _state: dict | None = None,
     ):
         if _state is not None:
