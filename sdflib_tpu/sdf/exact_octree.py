@@ -1208,6 +1208,12 @@ def _build_exact(
         half,
     )]
     stats["build_splits"] = 0
+    # (A background-thread PREWARM of all plausible cull variants was
+    # built and measured NET HARMFUL here: the remote compile service
+    # serializes, so warming the ~6 menu variants that never occur
+    # doubled the serial compile queue — 781 s cold vs 151 s without,
+    # same session. The variant-count reduction above is the lever that
+    # works; do not re-add speculative warmups.)
 
     while work:
         groups, depth, half = work.pop()
