@@ -352,7 +352,14 @@ def build_octree(
             break
 
         # ---- chunked level kernel ------------------------------------------
-        Kp = _round_pow2(K, 8)
+        # Candidate width quantized to 8*4^j (not every pow2): each
+        # distinct (C, Kp) is a fresh executable whose per-process
+        # first call costs 15-120 s through the remote transport
+        # (PERF.md S0b); x4 steps halve the variant count for <=2x
+        # masked pad evals in the (cheap) cull portion.
+        Kp = 8
+        while Kp < K:
+            Kp *= 4
         C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
         if strategy == "precise":
             # the precise cull's pair state carries an extra region factor

@@ -299,7 +299,14 @@ def build_octree_continuity(
     def _run_level_kernel(centers, corner_vals, cand_idx, cand_valid, half, rule):
         """Chunked device kernel: midpoint samples + fit + error + culling."""
         N, K = cand_idx.shape
-        Kp = _round_pow2(K, 8)
+        # Candidate width quantized to 8*4^j (not every pow2): each
+        # distinct (C, Kp) is a fresh executable whose per-process
+        # first call costs 15-120 s through the remote transport
+        # (PERF.md S0b); x4 steps halve the variant count for <=2x
+        # masked pad evals in the (cheap) cull portion.
+        Kp = 8
+        while Kp < K:
+            Kp *= 4
         C = max(1, _round_pow2(pair_budget // max(Kp, 1) // 2, 1))
         if strategy == "precise":
             # extra region factor in the pair state
