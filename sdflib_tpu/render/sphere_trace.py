@@ -30,6 +30,17 @@ from ..ops.interpolation import tricubic_interpolate, trilinear_interpolate
 __all__ = ["TraceResult", "sphere_trace", "trace_octree"]
 
 
+def _scatter_barrier(*ops):
+    """Identity on values; cuts XLA producer fusion into scatter operands.
+    The v5e compiler's scatter-fusion pass hard-aborts (SIGABRT,
+    `ScatterEmitter::ShouldFuseInputIntoScatter: operand_indices.size()
+    == 1 (2 vs. 1)`) when the march schedulers' update/index expressions
+    fuse into the iteration-count scatters; keeping the operands
+    materialized sidesteps the crash at negligible cost (the scatters are
+    (R,)-sized next to the march's gather work)."""
+    return jax.lax.optimization_barrier(ops)
+
+
 def _grid_distance_and_step(
     octree_u32,
     grid_u32,
@@ -343,9 +354,8 @@ def _march_round_jit(
     state = jax.tree.map(
         lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
     )
-    iters_used = iters_used.at[perm[:n_blk]].add(
-        jnp.repeat(its, B), mode="drop"
-    )
+    upd, idx = _scatter_barrier(jnp.repeat(its, B), perm[:n_blk])
+    iters_used = iters_used.at[idx].add(upd, mode="drop")
 
     active = state[3][:n_blk] > 0
     n_active = jnp.sum(active.astype(jnp.int32))
@@ -430,9 +440,8 @@ def _march_pyramid_jit(
         state = jax.tree.map(
             lambda h, full: jnp.concatenate([h, full[n_blk:]]), head, state
         )
-        iters_used = iters_used.at[perm[:n_blk]].add(
-            jnp.repeat(its, Bb), mode="drop"
-        )
+        upd, idx = _scatter_barrier(jnp.repeat(its, Bb), perm[:n_blk])
+        iters_used = iters_used.at[idx].add(upd, mode="drop")
         # FULL compaction: actives to the global front (stable 11-operand
         # sort; the payload rides the comparator network nearly free).
         pos, acc, last_d, active = state
@@ -708,11 +717,11 @@ def _trace_rays_fused(
             octree_u32, grid_u32, state, d_cur, *common,
             max_iters=remaining, **statics,
         )
-        iters_used = iters_used.at[perm].add(
-            jnp.where(act_in > 0, it, 0)
-        )
+        upd, idx = _scatter_barrier(jnp.where(act_in > 0, it, 0), perm)
+        iters_used = iters_used.at[idx].add(upd)
 
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(Rl))
+    inv_idx, inv_upd = _scatter_barrier(perm, jnp.arange(Rl))
+    inv = jnp.zeros_like(perm).at[inv_idx].set(inv_upd)
     state = jax.tree.map(lambda a: a[inv], state)
     pos, acc, last_d, _ = state
     hit = last_d <= eps * box_size
@@ -901,7 +910,8 @@ def trace_octree(
         stats_out["rounds"] = rounds_log   # (iters, marched, still_active)
 
     # Restore original ray order.
-    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(Rp))
+    inv_idx, inv_upd = _scatter_barrier(perm, jnp.arange(Rp))
+    inv = jnp.zeros_like(perm).at[inv_idx].set(inv_upd)
     state = jax.tree.map(lambda a: a[inv], state)
 
     pos, acc, last_d, _ = state
