@@ -85,3 +85,28 @@ def test_sdf_light_renders(containers):
                          "--max_iters", "96"])
     assert rc == 0
     assert os.path.exists(png) and os.path.getsize(png) > 400
+
+
+def test_mesh_preview_renders(tmp_path):
+    """Mesh-preview tool (the viewer's rasterized model pass,
+    SdfViewer/main.cpp:221,308) draws a source mesh straight from disk."""
+    from sdflib_tpu.tools import mesh_preview
+
+    mesh = make_icosphere(subdivisions=1, radius=0.35)
+    obj = tmp_path / "ico.obj"
+    verts = np.asarray(mesh.vertices)
+    faces = np.asarray(mesh.indices).reshape(-1, 3) + 1
+    with open(obj, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for a, b, c in faces:
+            f.write(f"f {a} {b} {c}\n")
+
+    for mode in ("normal", "lit"):
+        png = str(tmp_path / f"prev_{mode}.png")
+        rc = mesh_preview.main([
+            str(obj), png, "--width", "48", "--height", "48",
+            "--mode", mode, "--max_iters", "64",
+        ])
+        assert rc == 0
+        assert os.path.exists(png) and os.path.getsize(png) > 100
