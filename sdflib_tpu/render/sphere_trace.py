@@ -54,6 +54,7 @@ def _grid_distance_and_step(
     num_coeff: int,
     interpolation: str,
     grid_fat: bool = False,
+    shrink=None,
 ):
     """Distance + SAFE STEP in one pass over the dense leaf grid.
 
@@ -63,7 +64,15 @@ def _grid_distance_and_step(
     tiny local distance value and cross empty cells in one step each —
     the step count becomes O(cells crossed) instead of O(distance/d_min).
     Out-of-box points use the box fallback distance (itself an exact lower
-    bound, so marching by it is safe)."""
+    bound, so marching by it is safe).
+
+    ``shrink`` (per-point, world units) makes the exit step safe for a
+    BEAM of that radius: the free box is contracted by ``shrink`` on all
+    faces and the step is taken only when the center already sits at
+    least ``shrink`` inside every wall — then every member path of the
+    tube stays inside the proven-free region for the whole step (the
+    center moves monotonically per axis, so start+end containment gives
+    containment throughout)."""
     g = 1 << grid_depth
     rel = (pts - box_min) / box_size
     in_box = jnp.all((rel >= 0.0) & (rel < 1.0), axis=-1)
@@ -107,13 +116,35 @@ def _grid_distance_and_step(
     # The overshoot epsilon stays at finest-cell scale to keep the hit
     # position error bound independent of leaf size.
     cell_size = box_size / g
+    if shrink is not None:
+        sh = shrink[0][..., None]      # tube radius at the current point
+        gr = shrink[1][..., None]      # radius growth per unit arclength
+
+    def box_exit(bmin, bsize):
+        if shrink is None:
+            far_face = bmin + (dirs > 0).astype(pts.dtype) * bsize
+            t_ax = jnp.where(dirs != 0.0, (far_face - pts) / dirs, jnp.inf)
+            return jnp.min(t_ax, axis=-1)
+        # Beam-tube exit: each of the six wall gaps (contracted by the
+        # tube radius) is LINEAR in t — near-wall gap changes at
+        # dir_a - gr, far-wall at -dir_a - gr — so the first zero
+        # crossing is exact; -inf when the center is not already
+        # `shrink`-contained (a member could stick out at the start).
+        gapN = pts - bmin - sh
+        gapF = bmin + bsize - pts - sh
+        contained = jnp.all((gapN >= 0.0) & (gapF >= 0.0), axis=-1)
+        rateN = gr - dirs              # >0 where the near gap shrinks
+        rateF = gr + dirs
+        tN = jnp.where(rateN > 0.0, gapN / jnp.maximum(rateN, 1e-20),
+                       jnp.inf)
+        tF = jnp.where(rateF > 0.0, gapF / jnp.maximum(rateF, 1e-20),
+                       jnp.inf)
+        t = jnp.minimum(jnp.min(tN, axis=-1), jnp.min(tF, axis=-1))
+        return jnp.where(contained, t, -jnp.inf)
+
     leaf_size = box_size / scale                       # (...,) per-point
     leaf_min = box_min + jnp.floor(f) * leaf_size[..., None]
-    far_face = leaf_min + (dirs > 0).astype(pts.dtype) * leaf_size[..., None]
-    t_ax = jnp.where(
-        dirs != 0.0, (far_face - pts) / dirs, jnp.inf
-    )
-    t_exit = jnp.min(t_ax, axis=-1)
+    t_exit = box_exit(leaf_min, leaf_size[..., None])
 
     # Free-RADIUS box exit (build_query_grid bits 17-21): every cell
     # within Chebyshev distance `rad` is also free, so the exit of the
@@ -123,12 +154,18 @@ def _grid_distance_and_step(
     rad = ((dw >> 17) & jnp.uint32(0x1F)).astype(pts.dtype)
     rbox_min = box_min + (cell.astype(pts.dtype) - rad[..., None]) * cell_size
     rbox_size = (2.0 * rad + 1.0)[..., None] * cell_size
-    far_face_r = rbox_min + (dirs > 0).astype(pts.dtype) * rbox_size
-    t_ax_r = jnp.where(dirs != 0.0, (far_face_r - pts) / dirs, jnp.inf)
-    t_exit = jnp.maximum(t_exit, jnp.min(t_ax_r, axis=-1)) + 1e-3 * cell_size
+    t_exit = jnp.maximum(t_exit, box_exit(rbox_min, rbox_size))
+    t_exit = t_exit + 1e-3 * cell_size
 
+    if shrink is not None:
+        # exit-only credit: the caller owns the distance-based step (its
+        # margin/growth bookkeeping differs); the tiny overshoot epsilon
+        # above is absorbed by the beam margin
+        return d, jnp.where((free == 1) & in_box, t_exit, -jnp.inf)
     step = jnp.where(
-        (free == 1) & in_box, jnp.maximum(d, t_exit), jnp.maximum(d, 0.0)
+        (free == 1) & in_box,
+        jnp.maximum(d, t_exit),
+        jnp.maximum(d, 0.0),
     )
     return d, step
 
@@ -395,15 +432,15 @@ def _march_pyramid_jit(
     B: int,
 ):
     """The WHOLE multi-round march as ONE compiled program: a static
-    pyramid of (iters, prefix) rounds with a FULL-array compaction (one
-    multi-operand lax.sort keyed on ~active) between rounds, so active
-    rays always sit at the front regardless of whether the previous
-    prefix covered them all. Replaces the per-round host sync of the
-    dynamic scheduler (~6 x ~25 ms of round-trip latency per 1M-ray frame
-    through the tunnel) with a single dispatch; the caller makes ONE
-    final sync and hands any stragglers (a scene where actives outnumber
-    a pyramid prefix) to the dynamic loop, which is exact."""
-    def round_step(state, dirs, perm, iters_used, k, n_blk):
+    pyramid of (iters, prefix) rounds with a compaction between rounds
+    (one multi-operand lax.sort keyed on ~active, prefix-width with a
+    queue floor — see round_step), so active rays sit at the front.
+    Replaces the per-round host sync of the dynamic scheduler (~6 x
+    ~25 ms of round-trip latency per 1M-ray frame through the tunnel)
+    with a single dispatch; the caller makes ONE final sync and hands
+    any stragglers (a scene where actives outnumber a pyramid prefix)
+    to the dynamic loop, which is exact."""
+    def round_step(state, dirs, perm, iters_used, k, n_blk, sort_w):
         head = jax.tree.map(lambda a: a[:n_blk], state)
         hdirs = dirs[:n_blk]
 
@@ -444,20 +481,41 @@ def _march_pyramid_jit(
         iters_used = iters_used.at[idx].add(upd, mode="drop")
         # FULL compaction: actives to the global front (stable 11-operand
         # sort; the payload rides the comparator network nearly free).
+        # PREFIX-width sort: the full-array sort here was 9 x ~26 ms of
+        # the 1024^2 frame (trace_profile r5) for rows the tail never
+        # touches. The width keeps a queue floor (32k) over the marched
+        # head so stranded actives keep draining into the padded tail
+        # rounds as the head retires, and the FINAL round sorts full
+        # width so every downstream handler (straggler loop, dynamic
+        # leftovers) still sees all actives compacted at the global
+        # front. Scenes with >32k still-active rays past round 2 strand
+        # some until that final sort — they retire in the straggler
+        # loop's full remaining budget, so results are unchanged.
         pos, acc, last_d, active = state
-        key = (active <= 0).astype(jnp.int32)
+        W = sort_w
+        key = (active[:W] <= 0).astype(jnp.int32)
         (_, px, py, pz, a_, ld, av, dx, dy, dz, pm) = jax.lax.sort(
-            (key, pos[:, 0], pos[:, 1], pos[:, 2], acc, last_d, active,
-             dirs[:, 0], dirs[:, 1], dirs[:, 2], perm),
+            (key, pos[:W, 0], pos[:W, 1], pos[:W, 2], acc[:W], last_d[:W],
+             active[:W], dirs[:W, 0], dirs[:W, 1], dirs[:W, 2], perm[:W]),
             num_keys=1, is_stable=True,
         )
-        state = (jnp.stack([px, py, pz], -1), a_, ld, av)
-        dirs = jnp.stack([dx, dy, dz], -1)
-        return state, dirs, pm, iters_used
+        head_state = (jnp.stack([px, py, pz], -1), a_, ld, av)
+        state = jax.tree.map(
+            lambda h, full: jnp.concatenate([h, full[W:]]), head_state, state
+        )
+        dirs = jnp.concatenate([jnp.stack([dx, dy, dz], -1), dirs[W:]])
+        perm = jnp.concatenate([pm, perm[W:]])
+        return state, dirs, perm, iters_used
 
-    for k, n_blk in schedule:
+    Rp = state[0].shape[0]
+    for i, (k, n_blk) in enumerate(schedule):
+        sort_w = (
+            Rp
+            if i == len(schedule) - 1
+            else min(Rp, max(n_blk, 1 << 15))
+        )
         state, dirs, perm, iters_used = round_step(
-            state, dirs, perm, iters_used, k, n_blk
+            state, dirs, perm, iters_used, k, n_blk, sort_w
         )
     n_active = jnp.sum((state[3] > 0).astype(jnp.int32))
     return state, dirs, perm, iters_used, n_active
@@ -513,21 +571,27 @@ def _beam_prepass_jit(
     Mirrors the role of the reference renderer's per-tile GPU dispatch
     coherence (RenderSdf.cpp:187, 16x16 tiles), recast as an explicit
     two-level TPU schedule."""
-    def dist_fn(points):
+    def dist_fn(points, radius):
         if grid_depth is not None:
-            d, _ = _grid_distance_and_step(
+            # exit step made tube-safe by contracting the free box by the
+            # beam radius (+margin) with exact per-wall growth handling —
+            # beams cross proven-empty space in one step each instead of
+            # crawling by d - r (the prepass was 197 ms of the 1024^2
+            # frame before this, ~179 latency-bound serial trips)
+            return _grid_distance_and_step(
                 octree_u32, grid_u32, points, dirs, box_min, box_size,
                 min_border_value,
                 grid_depth=grid_depth, num_coeff=num_coeff,
                 interpolation=interpolation, grid_fat=grid_fat,
+                shrink=(radius + margin, rd),
             )
-            return d
-        return _octree_query(
+        d = _octree_query(
             octree_u32, points, box_min, box_size, start_grid_size,
             min_border_value,
             levels=levels, num_coeff=num_coeff, interpolation=interpolation,
             with_gradient=False, fast=fast,
         )
+        return d, jnp.full_like(d, -jnp.inf)
 
     def cond(carry):
         it, _, _, active = carry
@@ -535,14 +599,22 @@ def _beam_prepass_jit(
 
     def body(carry):
         it, pos, acc, active = carry
-        d = dist_fn(pos)
         radius = r0 + acc * rd
+        d, fstep = dist_fn(pos, radius)
         # /(1+rd): the radius keeps growing over the step interval; this
         # keeps d >= r(t) + margin at every point along the step.
-        step = jnp.maximum((d - radius - margin) / (1.0 + rd), 0.0)
+        dstep = jnp.maximum((d - radius - margin) / (1.0 + rd), 0.0)
+        step = jnp.maximum(dstep, fstep)
         new_pos = pos + dirs * (step * active)[..., None]
         new_acc = acc + step * active
-        new_active = active * (step > 0.0) * (new_acc < far)
+        # Stop on proximity (step == 0) — AND on stagnation: a grazing
+        # beam skimming the silhouette at d ~ r+margin crawls in
+        # sub-margin steps for hundreds of trips (measured: the 1024^2
+        # prepass ran to its 256-trip cap and was still creeping,
+        # 205 ms). Stopping early is always safe — the stop depth is a
+        # lower bound on every member's first hit wherever it is — and
+        # member rays march the grazing stretch themselves anyway.
+        new_active = active * (step > 0.5 * margin) * (new_acc < far)
         return it + 1, new_pos, new_acc, new_active
 
     # zero/one carries derive from origins so their varying-axes type under

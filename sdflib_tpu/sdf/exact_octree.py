@@ -1478,17 +1478,43 @@ def _build_exact(
         leaf_count[: len(counts_all)] = counts_all
 
     tri_flat = jnp.full(total, -1, jnp.int32)
+
+    # Strip-mined, DONATED scatter: the whole-group (Lg, w) int64
+    # position matrix was GB-scale for wide depth-7 level groups (the
+    # 100k-mesh build OOMed exactly here, r5), and the undonated eager
+    # scatter held tri_flat at 2x. Strips bound the transient to
+    # ~2^26 entries; positions are int32 (slots < 2^31 always — the
+    # field table would exceed HBM long before); out-of-span lanes are
+    # dropped via an out-of-bounds sentinel.
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("w",))
+    def _csr_fill(buf, ids_c, off, cnt, *, w):
+        lane = jnp.arange(w, dtype=jnp.int32)
+        pos = off[:, None] + lane[None, :]
+        pos = jnp.where(
+            lane[None, :] < cnt[:, None], pos, jnp.int32(2**31 - 1)
+        )
+        return buf.at[pos.reshape(-1)].set(ids_c.reshape(-1), mode="drop")
+
     row0 = 0
     for ids_c, cnt in leaf_chunks:
         Lg, w = ids_c.shape
-        off = jnp.asarray(leaf_offset[row0 : row0 + Lg].astype(np.int64))
-        cnt_dev = jnp.asarray(cnt.astype(np.int32))
-        lane = jnp.arange(w, dtype=jnp.int32)
-        pos = off[:, None] + lane[None, :]
-        pos = jnp.where(lane[None, :] < cnt_dev[:, None], pos, total)
-        tri_flat = tri_flat.at[pos.reshape(-1)].set(
-            ids_c.reshape(-1), mode="drop"
-        )
+        off_np = leaf_offset[row0 : row0 + Lg].astype(np.int32)
+        strip = max(1, (1 << 26) // max(w, 1))
+        for s0 in range(0, Lg, strip):
+            s1 = min(s0 + strip, Lg)
+            # strip heights quantized to powers of two (compile-variant
+            # menu: <= log2(strip) shapes per w class); pad rows scatter
+            # nothing (cnt 0)
+            rows = min(strip, 1 << (max(s1 - s0 - 1, 1)).bit_length())
+            ids_s = ids_c[s0:s1]
+            off_s = jnp.asarray(off_np[s0:s1])
+            cnt_s = jnp.asarray(cnt[s0:s1].astype(np.int32))
+            if s1 - s0 < rows:
+                pad = rows - (s1 - s0)
+                ids_s = jnp.pad(ids_s, [(0, pad), (0, 0)])
+                off_s = jnp.pad(off_s, [(0, pad)])
+                cnt_s = jnp.pad(cnt_s, [(0, pad)])
+            tri_flat = _csr_fill(tri_flat, ids_s, off_s, cnt_s, w=w)
         row0 += Lg
     leaf_centers = (
         np.concatenate(leaf_center_chunks)
@@ -1716,12 +1742,18 @@ class ExactOctreeSdf(SdfFunction):
         strategy: str = "lattice",
         futility: float | None = 0.8,
         entry_budget: int = 1 << 27,
+        bucket_byte_budget: int | None = None,
         _state: dict | None = None,
     ):
         if _state is not None:
             self._load_state(_state)
             return
         assert mesh is not None and box is not None
+        if bucket_byte_budget is not None:
+            # instance override of the class default: structures near the
+            # HBM limit (depth-7 / 100k-triangle) may trade query scratch
+            # headroom for keeping the fast denormalized-field tier
+            self._BUCKET_BYTE_BUDGET = int(bucket_byte_budget)
         cbox = box.cubified()
         self.box = cbox
         self.max_depth = int(max_depth)
