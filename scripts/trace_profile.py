@@ -126,15 +126,14 @@ def main():
     f = lambda: (lambda x: (fence(x), x)[1])(compact(state0, d, perm))
     out["compact_sort_full_ms"] = timeit(f) * 1e3
 
-    # --- normals (thin-grid gradient query at hit points) -------------------
-    thin = oct_._query_grid
-
+    # --- normals (fat-grid gradient query, production config) ---------------
     @jax.jit
     def normals(p):
         _, g = st._octree_query_grid(
-            oct_.octree_data, thin, p, box_min, box_size, mbv,
+            oct_.octree_data, grid, p, box_min, box_size, mbv,
             grid_depth=oct_.max_depth, num_coeff=oct_.num_coefficients,
-            interpolation=oct_.interpolation, with_gradient=True)
+            interpolation=oct_.interpolation, with_gradient=True,
+            grid_fat=True)
         return g
 
     f = lambda: (lambda x: (fence(x), x)[1])(normals(o))

@@ -799,11 +799,14 @@ def _trace_rays_fused(
     hit = last_d <= eps * box_size
 
     if normals_grid_depth is not None:
+        # ride the FAT grid when the march has one: coeffs come inline
+        # with the row, halving the normals pass to one gather
         _, normal = _octree_query_grid(
-            octree_u32, thin_grid_u32, pos, box_min, box_size,
-            min_border_value,
+            octree_u32, grid_u32 if grid_fat else thin_grid_u32, pos,
+            box_min, box_size, min_border_value,
             grid_depth=normals_grid_depth, num_coeff=num_coeff,
             interpolation=interpolation, with_gradient=True,
+            grid_fat=grid_fat,
         )
     else:
         normal = _trace_normals_jit(
@@ -990,15 +993,21 @@ def trace_octree(
     eps_w = eps * float(octree.box.size[0])
     hit = last_d <= eps_w
     thin_grid = getattr(octree, "_query_grid", None)
-    if thin_grid is not None:
-        # gradient eval over the thin grid (the fat rows serve marching;
-        # a bulk gradient query is bandwidth-bound and prefers thin rows)
+    fat_grid = getattr(octree, "_fat_grid", None)
+    if thin_grid is not None or fat_grid is not None:
+        # normals prefer the FAT rows when the march built them: coeffs
+        # ride the same gathered row, so the pass is ONE gather per ray
+        # instead of two dependent ones (gathers are count-bound, not
+        # byte-bound — PERF.md §1)
+        use_fat = fat_grid is not None
         _, normal = _octree_query_grid(
-            octree.octree_data, thin_grid, pos, *common[:2], common[3],
+            octree.octree_data, fat_grid if use_fat else thin_grid, pos,
+            *common[:2], common[3],
             grid_depth=octree.max_depth,
             num_coeff=octree.num_coefficients,
             interpolation=octree.interpolation,
             with_gradient=True,
+            grid_fat=use_fat,
         )
     else:
         normal = _trace_normals_jit(

@@ -176,13 +176,14 @@ def _layout_is_aligned(
 @partial(
     jax.jit,
     static_argnames=(
-        "grid_depth", "num_coeff", "interpolation", "with_gradient"
+        "grid_depth", "num_coeff", "interpolation", "with_gradient",
+        "grid_fat",
     ),
 )
 def _octree_query_grid(
     octree_u32,
     grid_u32,        # (2^d^3, 2): [leaf word, leaf depth] per finest cell
-    points,
+    points,          # (fat layout: [word, depth, num_coeff coeffs] rows)
     box_min,
     box_size,
     min_border_value,
@@ -191,6 +192,7 @@ def _octree_query_grid(
     num_coeff: int,
     interpolation: str,
     with_gradient: bool,
+    grid_fat: bool = False,
 ):
     """O(1)-descent query via a dense leaf-id grid at max_depth resolution:
     the per-point tree walk (OctreeSdf.cpp:108-116) becomes ONE 8-byte row
@@ -213,9 +215,14 @@ def _octree_query_grid(
     f = rel * scale[..., None]
     frac = f - jnp.floor(f)
 
-    base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
-    shift = 6 if num_coeff == 64 else 3
-    coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
+    if grid_fat:
+        # coefficients ride the SAME gathered row (the tracer's fat march
+        # grid): one gather per query instead of two dependent ones
+        coeffs_u32 = row[..., 2 : 2 + num_coeff]
+    else:
+        base = (word & jnp.uint32(CHILDREN_INDEX_MASK)).astype(jnp.int32)
+        shift = 6 if num_coeff == 64 else 3
+        coeffs_u32 = octree_u32.reshape(-1, num_coeff)[base >> shift]
     coeffs = jax.lax.bitcast_convert_type(coeffs_u32, jnp.float32)
 
     if interpolation == "tricubic":
