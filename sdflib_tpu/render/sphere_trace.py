@@ -720,17 +720,22 @@ def _trace_rays_fused(
     beam: int | None,
     beam_margin: float,
     normals_grid_depth: int | None,
+    image_hw: tuple | None = None,
 ):
     """The WHOLE trace as one traceable program with NO host syncs: beam
-    prepass (flat consecutive-ray tiles), static march pyramid, then an
-    early-exiting full-width while_loop for any stragglers the pyramid's
-    prefixes missed. Safe to wrap in jax.shard_map — every op is local to
-    the shard (reductions like the while cond's any(active) stay per-shard),
-    so rays scale with zero communication (SURVEY.md S5.7: rays are pure
-    DP). The dynamic scheduler in trace_octree syncs an active count to the
-    host between rounds; under GSPMD those global sorts/prefix-slices turned
-    into cross-device resharding and collapsed throughput 7x on the r4
-    scaling curve — this fused form replaces it on the sharded path."""
+    prepass (flat consecutive-ray tiles, or 2D beam x beam pixel tiles
+    when ``image_hw=(H, W)`` is given and covers the batch), static march
+    pyramid, then an early-exiting full-width while_loop for any
+    stragglers the pyramid's prefixes missed. Safe to wrap in
+    jax.shard_map — every op is local to the shard (reductions like the
+    while cond's any(active) stay per-shard), so rays scale with zero
+    communication (SURVEY.md S5.7: rays are pure DP). The dynamic
+    scheduler in trace_octree syncs an active count to the host between
+    rounds; under GSPMD those global sorts/prefix-slices turned into
+    cross-device resharding and collapsed throughput 7x on the r4 scaling
+    curve — this fused form replaces it on the sharded path, and since r5
+    it IS the single-chip frame path too (the eager wrapper ops around
+    the old per-piece dispatches cost ~400 ms/frame of tunnel latency)."""
     Rl = o.shape[0]
     common = (box_min, box_size, start_grid_size, min_border_value, eps, far)
     statics = dict(
@@ -746,8 +751,23 @@ def _trace_rays_fused(
     beam_on = beam is not None and Rl >= beam * beam
     if beam_on:
         bb = beam * beam
-        seg = jnp.asarray(np.arange(Rl) // bb, jnp.int32)
-        ntiles = -(-Rl // bb)
+        if (
+            image_hw is not None
+            and image_hw[0] * image_hw[1] == Rl
+            and image_hw[0] % beam == 0
+            and image_hw[1] % beam == 0
+        ):
+            # 2D pixel tiles (compact beams) — jnp-derived so no (Rl,)
+            # constant is embedded in the program
+            H, W = image_hw
+            i = jnp.arange(Rl)
+            seg = (
+                (i // W // beam) * (W // beam) + (i % W) // beam
+            ).astype(jnp.int32)
+            ntiles = (H // beam) * (W // beam)
+        else:
+            seg = jnp.asarray(np.arange(Rl) // bb, jnp.int32)
+            ntiles = -(-Rl // bb)
         o_c, d_c, r0, rd = _beam_setup_jit(o, d, seg, ntiles=ntiles)
         beam_t = _beam_prepass_jit(
             octree_u32, grid_u32, o_c, d_c, r0, rd,
@@ -817,6 +837,45 @@ def _trace_rays_fused(
     return hit, pos, acc, normal, iters_used
 
 
+@partial(jax.jit, static_argnames=(
+    "Rp", "levels", "num_coeff", "interpolation", "max_iters", "grid_depth",
+    "fast", "grid_fat", "B", "beam", "beam_margin", "normals_grid_depth",
+    "image_hw",
+))
+def _trace_frame_jit(octree_u32, grid_u32, thin_grid_u32, origins, dirs,
+                     box_min, box_size, start_grid_size, min_border_value,
+                     eps, far, *, Rp, **statics):
+    """jit entry for the whole-frame fused trace (single-chip path).
+    Takes RAW image- or flat-shaped origins/dirs and owns the pad /
+    padding-ray setup / final unpad+reshape: each of those as an eager op
+    costs a ~25 ms dispatch through the tunnel (8+ of them ate half the
+    frame time in r5 profiling)."""
+    shape = origins.shape
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    R = o.shape[0]
+    o = jnp.pad(o, [(0, Rp - R), (0, 0)])
+    d_pad = jnp.pad(d, [(0, Rp - R), (0, 0)])
+    # padded rays get a unit direction so steps stay finite, and start
+    # inactive
+    d = jnp.where(
+        (jnp.arange(Rp) < R)[:, None], d_pad, jnp.array([1.0, 0.0, 0.0])
+    )
+    active0 = (jnp.arange(Rp) < R).astype(jnp.float32)
+    hit, pos, acc, normal, iters_used = _trace_rays_fused(
+        octree_u32, grid_u32, thin_grid_u32, o, d, active0,
+        box_min, box_size, start_grid_size, min_border_value, eps, far,
+        **statics,
+    )
+    res = TraceResult(hit, pos, acc, normal, iters_used)
+    return jax.tree.map(
+        lambda a: a[:R].reshape(
+            shape[:-1] + a.shape[1:] if a.ndim > 1 else shape[:-1]
+        ),
+        res,
+    )
+
+
 def trace_octree(
     octree: OctreeSdf,
     origins,
@@ -847,19 +906,9 @@ def trace_octree(
     dirs = jnp.asarray(dirs, jnp.float32)
     shape = origins.shape
 
-    o = origins.reshape(-1, 3)
-    d = dirs.reshape(-1, 3)
-    R = o.shape[0]
+    R = int(np.prod(shape[:-1], dtype=np.int64)) if len(shape) > 1 else 1
     B = min(block_size or _TRACE_BLOCK, max(R, 1))
     Rp = -(-R // B) * B
-    o = jnp.pad(o, [(0, Rp - R), (0, 0)])
-    d_pad = jnp.pad(d, [(0, Rp - R), (0, 0)])
-    # padded rays get a unit direction so steps stay finite...
-    d = jnp.where(
-        (jnp.arange(Rp) < R)[:, None], d_pad, jnp.array([1.0, 0.0, 0.0])
-    )
-    # ...and start inactive
-    pad_active = (jnp.arange(Rp) < R).astype(jnp.float32)
 
     common = (
         jnp.asarray(octree.box.min),
@@ -888,6 +937,60 @@ def trace_octree(
         grid_fat=grid_fat,
     )
     grid_arr = grid if grid is not None else jnp.zeros((1, 2), jnp.uint32)
+
+    # Large frames: the WHOLE trace (beam, pyramid, straggler loop,
+    # normals, unsort) as ONE jitted program. The previous wrapper ran
+    # ~20 eager ops + 1 host sync around the jitted pieces; through the
+    # tunnel those dispatches cost ~400 ms of a 1024^2 frame (r5
+    # trace_profile: pieces 344 ms vs frame 760 ms).
+    if pyramid and Rp >= (1 << 15) and max_iters >= 64:
+        thin_grid = getattr(octree, "_query_grid", None)
+        thin_arr = (
+            thin_grid if thin_grid is not None
+            else jnp.zeros((1, 2), jnp.uint32)
+        )
+        thr = float(getattr(octree, "termination_threshold", 1e-3))
+        image_hw = None
+        if len(shape) == 3 and shape[0] * shape[1] == Rp:
+            image_hw = (int(shape[0]), int(shape[1]))
+        res = _trace_frame_jit(
+            octree.octree_data, grid_arr, thin_arr, origins, dirs,
+            *common,
+            Rp=Rp,
+            levels=statics["levels"], num_coeff=statics["num_coeff"],
+            interpolation=statics["interpolation"], max_iters=max_iters,
+            grid_depth=statics["grid_depth"], fast=statics["fast"],
+            grid_fat=grid_fat, B=B, beam=beam,
+            beam_margin=float(eps * float(octree.box.size[0]) + 4.0 * thr),
+            normals_grid_depth=(
+                octree.max_depth
+                if (grid is not None or thin_grid is not None)
+                else None
+            ),
+            image_hw=image_hw,
+        )
+        if stats_out is not None:
+            beam_on = beam is not None and R >= beam * beam
+            stats_out["rounds"] = [(
+                "pyramid",
+                tuple(_build_pyramid_schedule(
+                    Rp, max_iters, B, dense=not beam_on
+                )),
+                0,
+            )]
+        return res
+
+    # ---- dynamic path (small frames / pyramid=False): eager setup ----
+    o = origins.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    o = jnp.pad(o, [(0, Rp - R), (0, 0)])
+    d_pad = jnp.pad(d, [(0, Rp - R), (0, 0)])
+    # padded rays get a unit direction so steps stay finite...
+    d = jnp.where(
+        (jnp.arange(Rp) < R)[:, None], d_pad, jnp.array([1.0, 0.0, 0.0])
+    )
+    # ...and start inactive
+    pad_active = (jnp.arange(Rp) < R).astype(jnp.float32)
 
     start_t = jnp.zeros(Rp, jnp.float32)
     beam_on = beam is not None and R >= beam * beam
@@ -936,32 +1039,10 @@ def trace_octree(
     rounds_log = []
     round_iters = min(_FIRST_ROUND_ITERS, max_iters)
 
-    # Large frames run a STATIC pyramid of rounds fused into ONE program
-    # (_march_pyramid_jit): no per-round host sync (~25 ms each through
-    # the tunnel). The prefix divisors mirror the measured geometric
-    # shrink of active rays (PERF.md §3); scenes whose actives overflow a
-    # prefix are caught by the single post-pyramid sync and finish in the
-    # exact dynamic loop below.
-    if pyramid and Rp >= (1 << 15) and max_iters >= 64:
-        schedule = _build_pyramid_schedule(
-            Rp, max_iters, B, dense=not beam_on
-        )
-        state, d_cur, perm, iters_used, n_act = _march_pyramid_jit(
-            octree.octree_data, grid_arr, state, d_cur, perm, iters_used,
-            *common,
-            **statics,
-            schedule=schedule, B=B,
-        )
-        n_cur = int(n_act)       # the frame's single host sync
-        # Cleanup budget = what the LEAST-marched active ray may still
-        # need: a ray overflowing every shrinking prefix was only offered
-        # the first round's iterations. Rays that marched more pyramid
-        # rounds may be offered more than max_iters in total — a ray's
-        # trajectory is schedule-independent, so this only costs work,
-        # never changes a converged result.
-        remaining = max(max_iters - schedule[0][0], 0) if n_cur else 0
-        round_iters = 256
-        rounds_log.append(("pyramid", tuple(schedule), n_cur))
+    # (Large pyramid-eligible frames returned above through the fully
+    # fused path; from here on this is the exact dynamic scheduler —
+    # per-round host syncs — used by small frames, pyramid=False, and the
+    # equality tests that pin the fused path's results.)
     while remaining > 0 and n_cur > 0:
         k = min(round_iters, remaining)
         # pow2 prefix sizing (bounds compile variants); a small floor so
