@@ -30,6 +30,9 @@ def main():
     impl = sys.argv[2] if len(sys.argv) > 2 else "xla"
     cache = sys.argv[3] if len(sys.argv) > 3 else None
     min_tris = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    # denormalized-field tier cap (bytes); the depth-7/100k structure's
+    # slot count decides between the fast vertex tier and id-only buckets
+    byte_budget = int(sys.argv[5]) if len(sys.argv) > 5 else (10 << 30)
     if cache and not cache.endswith(".npz"):
         cache += ".npz"  # np.savez appends it; keep the exists() check honest
     t0 = time.perf_counter()
@@ -47,6 +50,7 @@ def main():
         ex = ExactOctreeSdf(
             mesh, box, max_depth=depth, start_depth=3,
             min_triangles_per_node=min_tris,
+            bucket_byte_budget=byte_budget,
         )
         build_s = time.perf_counter() - t0
         if cache:

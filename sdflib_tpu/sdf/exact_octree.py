@@ -1469,6 +1469,13 @@ def _build_exact(
         -(-np.maximum(counts_all, 1) // _LEAF_CHUNK) * _LEAF_CHUNK
     ).astype(np.int64)
     total = int(spans.sum()) if len(spans) else _LEAF_CHUNK
+    # slab-align the CSR up front: make_bucket_tables pads bucket rows to
+    # a _PALLAS_SLAB multiple, and for a chunk-aligned (reshape) table
+    # that pad is a full COPY — a 2x transient of the multi-GB id table
+    # that OOMed the depth-7/100k build (1.18e9 slots). Aligned here, the
+    # pad is a no-op and the id table stays a view of tri_flat.
+    slab_span = _LEAF_CHUNK * _PALLAS_SLAB
+    total = -(-total // slab_span) * slab_span
     leaf_offset = np.zeros(max(leaf_counter, 1), np.int32)
     leaf_count = np.zeros(max(leaf_counter, 1), np.int32)
     if len(counts_all):
@@ -1714,7 +1721,15 @@ def make_bucket_tables(
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
     try:
-        bucket_cmin = _build_cmin(bucket_fields)
+        if bucket_fields is None:
+            # id-only structures (field tiers over byte_budget, e.g. the
+            # depth-7/100k build's 1.18e9 slots): the query falls back to
+            # the CSR scan, which bounds via leaf centers — bucket_cmin
+            # is never read, and computing it here costs minutes of
+            # eager per-field element gathers over the multi-GB table
+            bucket_cmin = jnp.zeros((ids.shape[0],), jnp.float32)
+        else:
+            bucket_cmin = _build_cmin(bucket_fields)
     except jax.errors.JaxRuntimeError:
         # HBM exhausted with the dense table resident: degrade to
         # id-only buckets rather than failing the build.
@@ -1723,7 +1738,7 @@ def make_bucket_tables(
             import sys as _sys
             print("[buckets] HBM exhausted in cmin -> id-only buckets",
                   file=_sys.stderr, flush=True)
-        bucket_cmin = _build_cmin(None)
+        bucket_cmin = jnp.zeros((ids.shape[0],), jnp.float32)
 
     # (rows were slab-padded BEFORE field construction, see above)
     return ids, bucket_fields, bucket_cmin, jnp.asarray(bucket_row0)
