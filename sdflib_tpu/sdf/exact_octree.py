@@ -1585,6 +1585,40 @@ def make_bucket_tables(
     CH = chunk
     cnts = np.asarray(leaf_count)
     L = len(cnts)
+
+    # Decide the storage tier BEFORE materializing anything: for id-only
+    # structures (slots x 36 B over byte_budget — e.g. the depth-7/100k
+    # build's 1.18e9 slots = 42 GB) the query dispatch never reads the
+    # bucket tables at all (it takes the CSR fallback on
+    # ``bucket_fields is None``), and even the (rows, CH) id reshape is
+    # a 4.5 GB device COPY that pushed that build out of memory.
+    n_slots = (
+        int(np.asarray(tri_flat).size)
+        if CH <= _LEAF_CHUNK
+        else int((-(-np.maximum(cnts, 1) // CH)).sum()) * CH
+    )
+    nf_packed = packed_fields.shape[1]
+    tier_vertex = (
+        bucket_format in ("auto", "vertex9")
+        and vworld is not None
+        and n_slots * 9 * 4 <= byte_budget
+    )
+    tier_frame = (
+        not tier_vertex
+        and bucket_format != "vertex9"
+        and n_slots * nf_packed * 4 <= byte_budget
+    )
+    if not tier_vertex and not tier_frame:
+        spans_io = (
+            ((-(-np.maximum(cnts, 1) // _LEAF_CHUNK)) * (_LEAF_CHUNK // CH))
+            if CH <= _LEAF_CHUNK
+            else (-(-np.maximum(cnts, 1) // CH))
+        ).astype(np.int64)
+        row0_io = np.concatenate(
+            [[0], np.cumsum(spans_io)[:-1]]
+        ).astype(np.int32)
+        return None, None, jnp.zeros((1,), jnp.float32), jnp.asarray(row0_io)
+
     if CH <= _LEAF_CHUNK:
         assert _LEAF_CHUNK % CH == 0
         ids = jnp.asarray(tri_flat).reshape(-1, CH)
