@@ -28,7 +28,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+
     import jax
+
+    # A JAX_PLATFORMS=cpu env request (the virtual-mesh recipe) is
+    # overridden by the axon TPU plugin; the config API is authoritative
+    # (CLAUDE.md). Without this the "CPU mesh" run lands on the one real
+    # TPU chip and measures tunnel contention.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from .. import parallel
