@@ -30,6 +30,7 @@
 //
 // File formats match gen_golden.cpp (little-endian raw arrays).
 
+#include <chrono>
 #include <cstdio>
 #include <cstdint>
 #include <cstring>
@@ -164,6 +165,48 @@ static int runBuild(int argc, char** argv) {
     return 0;
 }
 
+static int runBuildExact(int argc, char** argv) {
+    // buildexact <mesh.raw> <points.raw> <out_prefix> <maxDepth>
+    //            <startDepth> <minTris> [numThreads]
+    // Times ONLY the exact builder (the big-mesh baseline probe: the
+    // `build` mode also builds both approx octrees first, which at
+    // depth-7/100k-triangle scale costs more wall time than the datum
+    // is worth).
+    const char* meshPath = argv[2];
+    const char* ptsPath = argv[3];
+    std::string prefix = argv[4];
+    uint32_t maxDepth = std::atoi(argv[5]);
+    uint32_t startDepth = std::atoi(argv[6]);
+    uint32_t minTris = std::atoi(argv[7]);
+    uint32_t nthreads = (argc > 8) ? std::atoi(argv[8]) : 1;
+
+    std::vector<glm::vec3> verts;
+    std::vector<uint32_t> indices;
+    Mesh mesh = loadMeshRaw(meshPath, verts, indices);
+    std::vector<glm::vec3> pts = loadPointsRaw(ptsPath);
+    BoundingBox box = mesh.getBoundingBox();
+    const glm::vec3 modelBBSize = box.getSize();
+    box.addMargin(0.2f * glm::max(glm::max(modelBBSize.x, modelBBSize.y),
+                                  modelBBSize.z));
+
+    auto t0 = std::chrono::steady_clock::now();
+    ExactOctreeSdf ex(mesh, box, maxDepth, startDepth, minTris, nthreads);
+    double buildS = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    saveBin(ex, prefix + "_exact.bin");
+
+    auto q0 = std::chrono::steady_clock::now();
+    queryAndDump(ex, pts, prefix + "_exact");
+    double queryS = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - q0).count();
+    std::printf(
+        "buildexact: build_s=%.2f nodes=%zu threads=%u query_s=%.3f "
+        "points=%zu qps=%.0f\n",
+        buildS, ex.getOctreeData().size(), nthreads, queryS, pts.size(),
+        pts.size() / queryS);
+    return 0;
+}
+
 static int runExactQuery(int argc, char** argv) {
     const char* binPath = argv[2];
     const char* ptsPath = argv[3];
@@ -188,6 +231,7 @@ static int runExactQuery(int argc, char** argv) {
 
 int main(int argc, char** argv) {
     if (argc >= 9 && std::string(argv[1]) == "build") return runBuild(argc, argv);
+    if (argc >= 8 && std::string(argv[1]) == "buildexact") return runBuildExact(argc, argv);
     if (argc >= 5 && std::string(argv[1]) == "exactquery") return runExactQuery(argc, argv);
     std::fprintf(stderr,
                  "usage: gen_builders build <mesh.raw> <points.raw> <out_prefix>"
