@@ -63,10 +63,18 @@ def main():
             "mean_tris_per_leaf": float(tpl.mean()),
             "median_tris_per_leaf": float(np.median(tpl)),
             "max_tris_per_leaf": float(tpl.max()),
-            "bucket_rows": int(ex.bucket_ids.shape[0]),
-            "bucket_mb": float(
-                ex.bucket_ids.nbytes + ex.bucket_fields.nbytes
-            ) / 1e6,
+            "bucket_rows": (
+                int(ex.bucket_ids.shape[0])
+                if ex.bucket_ids is not None else 0
+            ),
+            "bucket_mb": (
+                float(ex.bucket_ids.nbytes + ex.bucket_fields.nbytes) / 1e6
+                if ex.bucket_fields is not None
+                else float(ex.tri_flat.nbytes) / 1e6
+            ),
+            "bucket_tier": (
+                "fields" if ex.bucket_fields is not None else "id-only"
+            ),
         }), flush=True)
 
     try:

@@ -115,7 +115,7 @@ def test_exact_torus():
 
 
 @pytest.mark.parametrize(
-    "strategy", ["lattice", "basic", "precise", "per_vertex"]
+    "strategy", ["lattice", "region", "basic", "precise", "per_vertex"]
 )
 def test_strategies_stay_exact(strategy):
     """Exactness must hold under every culling strategy; the torus's
@@ -123,7 +123,7 @@ def test_strategies_stay_exact(strategy):
     The GJK-hull strategies (precise/per_vertex) pay a region factor per
     candidate pair, so they run on a smaller case to keep the suite
     fast — the criterion is exercised identically."""
-    small = strategy != "lattice"  # lattice is the default: full-size case
+    small = strategy not in ("lattice", "region")  # defaults: full-size
     mesh = make_torus(
         R=0.3, r=0.12, nu=16 if small else 24, nv=8 if small else 12
     )
@@ -178,15 +178,21 @@ def test_futility_none_reference_shaped_tree():
 
 def test_lattice_tighter_than_basic():
     """The house lattice cull must produce lists at least as tight as the
-    reference Basic criterion (that's its reason to exist)."""
+    reference Basic criterion (that's its reason to exist), and the
+    default region cull (the reference's own default strategy,
+    re-derived) must be tighter still — its relative envelope test is
+    the r5 fix for the 17x list bloat vs the reference at depth 7."""
     mesh = make_torus(R=0.3, r=0.12, nu=24, nv=12)
     box = mesh.bounding_box.add_margin(0.14)
     kw = dict(max_depth=4, start_depth=1, min_triangles_per_node=16)
     lat = ExactOctreeSdf(mesh, box, strategy="lattice", **kw)
     bas = ExactOctreeSdf(mesh, box, strategy="basic", **kw)
+    reg = ExactOctreeSdf(mesh, box, strategy="region", **kw)
     mean_lat = np.mean(lat.build_stats["tris_per_leaf"])
     mean_bas = np.mean(bas.build_stats["tris_per_leaf"])
+    mean_reg = np.mean(reg.build_stats["tris_per_leaf"])
     assert mean_lat <= mean_bas * 1.05, (mean_lat, mean_bas)
+    assert mean_reg <= mean_lat * 0.85, (mean_reg, mean_lat)
 
 
 def test_scan_chunk_rechunk_matches():
