@@ -1050,13 +1050,16 @@ def _exact_query_fused(
 
 @partial(
     jax.jit,
-    static_argnames=("max_chunks", "dense_buckets", "early_exit"),
+    static_argnames=("max_chunks", "dense_buckets", "early_exit", "chunk"),
 )
 def _exact_scan(
     leaf_offset,       # (L,) int32 into tri_flat, _LEAF_CHUNK-aligned
     leaf_count,        # (L,) int32
     leaf_centers,      # (L, 3) leaf box centers
-    bucket_ids,        # (NB, CH) int32 triangle ids, -1 padded
+    bucket_ids,        # (NB, CH) int32 triangle ids, -1 padded — or the
+                       # FLAT CSR id array (huge id-only structures: the
+                       # (rows, CH) reshape here inside the jit is a
+                       # bitcast, not the multi-GB eager copy)
     bucket_fields,     # (NB, CH*19) fp32 fields, or (T, 19) packed matrix
     bucket_cmin,       # (NB,) min leaf-center distance of bucket triangles
     pts,               # (B, 3) leaf-coherent point block
@@ -1065,10 +1068,13 @@ def _exact_scan(
     max_chunks: int,
     dense_buckets: bool = True,
     early_exit: bool = True,
+    chunk: int | None = None,
 ):
     """Masked brute force over denormalized leaf buckets with
     distance-sorted early exit (ExactOctreeSdf.cpp:105-175 role). Points
     should be pre-sorted by leaf id so whole blocks exit early together."""
+    if bucket_ids.ndim == 1:
+        bucket_ids = bucket_ids.reshape(-1, chunk)
     CH = bucket_ids.shape[1]
     bucket0 = leaf_offset[leaf_id] // CH            # (B,) first bucket row
     cnt = leaf_count[leaf_id]
@@ -2269,6 +2275,24 @@ class ExactOctreeSdf(SdfFunction):
             # the id-only fallback is always 64-alignable (set_scan_chunk
             # rejects wide chunks without dense fields)
             max_chunks = -(-max_cnt // self.scan_chunk)
+            # huge id-only structures never materialize (rows, CH) bucket
+            # tables (a multi-GB device copy, see make_bucket_tables);
+            # the CSR id array reshapes for free INSIDE the jit
+            ids = (
+                self.bucket_ids
+                if self.bucket_ids is not None
+                else self.tri_flat            # reshaped inside the jit
+            )
+            n_rows = (
+                ids.shape[0] if ids.ndim == 2
+                else ids.shape[0] // self.scan_chunk
+            )
+            cmin = self.bucket_cmin
+            ee = self._sorted_lists and (
+                cmin is not None and cmin.shape[0] == n_rows
+            )
+            if not ee:
+                cmin = jnp.zeros((1,), jnp.float32)
             win_parts = []
             for i in range(0, Pp, B):
                 win_parts.append(
@@ -2276,14 +2300,15 @@ class ExactOctreeSdf(SdfFunction):
                         self.leaf_offset,
                         self.leaf_count,
                         self._leaf_centers_dev(),
-                        self.bucket_ids,
+                        ids,
                         self.packed_fields,
-                        self.bucket_cmin,
+                        cmin,
                         jax.lax.dynamic_slice_in_dim(pts_s, i, B),
                         jax.lax.dynamic_slice_in_dim(lid_s, i, B),
                         max_chunks=max_chunks,
                         dense_buckets=False,
-                        early_exit=self._sorted_lists,
+                        early_exit=ee,
+                        chunk=self.scan_chunk,
                     )
                 )
             win_s = (
@@ -2337,6 +2362,10 @@ class ExactOctreeSdf(SdfFunction):
             "leaf_centers": np.asarray(self.leaf_centers, np.float32),
             "sorted_lists": np.bool_(self._sorted_lists),
             "strategy": np.array(getattr(self, "strategy", "lattice")),
+            # the tier decision must survive save/load: a 6.5 GB depth-7
+            # field table silently degraded to id-only on reload when the
+            # instance budget was lost (r5)
+            "bucket_byte_budget": np.int64(self._BUCKET_BYTE_BUDGET),
             **{
                 f"tri_{name}": np.asarray(arr, np.float32)
                 for name, arr in self.triangles._asdict().items()
@@ -2350,6 +2379,8 @@ class ExactOctreeSdf(SdfFunction):
         self.max_depth = int(state["max_depth"])
         self.min_triangles_per_node = int(state["min_triangles_per_node"])
         self.strategy = str(state.get("strategy", "lattice"))
+        if "bucket_byte_budget" in state:
+            self._BUCKET_BYTE_BUDGET = int(state["bucket_byte_budget"])
         self.octree_data = jnp.asarray(state["octree_data"])
         self.leaf_offset = jnp.asarray(state["leaf_offset"])
         self.leaf_count = jnp.asarray(state["leaf_count"])
