@@ -1971,15 +1971,18 @@ class ExactOctreeSdf(SdfFunction):
         return self._leaf_centers_dev_cache
 
     def _default_scan_impl(self) -> None:
-        """Window scan is the measured default (8.2 vs 6.6 M q/s for the
-        grouped scan at 2M points on v5e, scripts/scan_ab_bench.py r4);
-        width 16 won the A/B. Falls back to the grouped scan when the
-        dense buckets or the packed bounds table are unavailable."""
+        """Window scan is the measured default (16.1 vs 6.0 M q/s for the
+        grouped scan at 2M points on the r5 region-built torus, width 32);
+        the grouped scan when the dense buckets or the packed bounds
+        table are unavailable. The AUTO flag lets the query flip to the
+        grouped scan for sparse batches (an explicit set_scan_impl call
+        pins the choice)."""
         if self.bucket_fields is not None and self.leaf_scan_packed is not None:
             self.scan_impl = "xla_window"
         else:
             self.scan_impl = "xla"
         self.window_width = 32
+        self._scan_impl_auto = True
 
     def _make_buckets(self):
         """Denormalized per-bucket triangle ids + packed distance fields
@@ -2076,6 +2079,7 @@ class ExactOctreeSdf(SdfFunction):
                     "pallas scan requires vertex-format dense buckets"
                 )
         self.scan_impl = impl
+        self._scan_impl_auto = False
 
     def set_scan_chunk(self, chunk: int) -> None:
         """Rebuild the bucket tables with a different scan chunk width.
@@ -2191,6 +2195,18 @@ class ExactOctreeSdf(SdfFunction):
 
         if self.bucket_fields is not None:
             impl = getattr(self, "scan_impl", "xla")
+            if (
+                getattr(self, "_scan_impl_auto", False)
+                and impl == "xla_window"
+                and Pp < 4 * int(self.leaf_offset.shape[0])
+            ):
+                # sparse batches (< ~4 points/leaf, e.g. random points
+                # over a depth-7 domain): fixed windows span many
+                # scattered leaves and the gap-jumping loop degenerates
+                # to per-row serial visits (r5: 1.27 vs 1.65 M q/s on
+                # the 100k/d7 structure) — the grouped scan adapts its
+                # group width to density instead
+                impl = "xla"
             CH = self.scan_chunk
             max_chunks = -(-max_cnt // CH)
             if impl == "xla_window":

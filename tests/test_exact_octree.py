@@ -295,3 +295,23 @@ def test_streamed_build_matches_unstreamed():
         np.asarray(streamed.get_distance(pts)),
         np.asarray(one.get_distance(pts)),
     )
+
+
+def test_auto_scan_impl_flips_for_sparse_batches():
+    """The auto default flips window->grouped below ~4 points/leaf
+    (sparse batches degenerate the fixed-window gap-jump loop, r5), and
+    both backends agree bit-for-bit; an explicit set_scan_impl pins the
+    choice."""
+    mesh = make_icosphere(subdivisions=2, radius=0.35)
+    box = mesh.bounding_box.add_margin(0.14)
+    ex = ExactOctreeSdf(mesh, box, max_depth=4, start_depth=1,
+                        min_triangles_per_node=16)
+    assert ex.scan_impl == "xla_window" and ex._scan_impl_auto
+    rng = np.random.default_rng(9)
+    small = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4,
+                        (64, 3)).astype(np.float32)
+    d_auto = np.asarray(ex.get_distance(small))     # sparse: flips to xla
+    ex.set_scan_impl("xla_window")
+    assert not ex._scan_impl_auto
+    d_win = np.asarray(ex.get_distance(small))      # pinned: windows
+    np.testing.assert_array_equal(d_auto, d_win)
