@@ -47,7 +47,7 @@ def main() -> None:
           f"{args.depth}, start {args.start_depth}, min_tris {args.min_tris}")
     print(f"{'strategy':>10} {'leaves':>8} {'mean':>8} {'median':>8} "
           f"{'max':>6} {'build_s':>8} {'Mq/s':>8}")
-    for strategy in ("lattice", "basic", "precise", "per_vertex"):
+    for strategy in ("region", "lattice", "basic", "precise", "per_vertex"):
         t0 = time.perf_counter()
         ex = ExactOctreeSdf(
             mesh, box, max_depth=args.depth, start_depth=args.start_depth,
