@@ -31,6 +31,7 @@ def _device_put_structure(sdf, mesh):
         "bucket_row0",
         "leaf_count",
         "leaf_centers",
+        "tri_flat",        # id-only structures' query fallback reads it
         "bucket_ids",
         "bucket_fields",
         "bucket_cmin",

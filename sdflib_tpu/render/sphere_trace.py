@@ -766,7 +766,10 @@ def _trace_rays_fused(
             ).astype(jnp.int32)
             ntiles = (H // beam) * (W // beam)
         else:
-            seg = jnp.asarray(np.arange(Rl) // bb, jnp.int32)
+            # jnp-derived, like the 2D branch: an np.arange here embeds
+            # an (Rl,)-sized literal in every compile variant (CLAUDE.md:
+            # big program constants stall remote compiles)
+            seg = (jnp.arange(Rl) // bb).astype(jnp.int32)
             ntiles = -(-Rl // bb)
         o_c, d_c, r0, rd = _beam_setup_jit(o, d, seg, ntiles=ntiles)
         beam_t = _beam_prepass_jit(

@@ -217,24 +217,25 @@ def _region_cull_chunk(packed, aabbs, centers, cand_idx, cand_valid, half):
         gx, gy, gz = gx2 * inv, gy2 * inv, gz2 * inv
 
         # the anchor's nearest candidate: one-hot in-row field select
+        # into 19 separate (C,) vectors — a stacked (C, 19) array would
+        # lane-pad 19 -> 128 (CLAUDE.md: never materialize (N, 19))
         oh = (
             jax.lax.broadcasted_iota(jnp.int32, (C, K), 1)
             == jnp.argmin(sqd_m, axis=1)[:, None]
         )
-        fb = jnp.stack(
-            [jnp.sum(jnp.where(oh, fields[..., r], 0.0), axis=1)
-             for r in range(fields.shape[-1])],
-            axis=-1,
-        )                                            # (C, 19)
+        fb = [
+            jnp.sum(jnp.where(oh, fields[..., r], 0.0), axis=1)
+            for r in range(fields.shape[-1])
+        ]
 
         m = jnp.full((C, K), jnp.inf, centers.dtype)
         for c in range(8):
             qo = corner[c]
-            d_b = jnp.sqrt(sq_dist_packed(
+            d_b = jnp.sqrt(sq_dist_from_field_fn(
                 (px + off[0])[:, 0] + qo[0],
                 (py + off[1])[:, 0] + qo[1],
                 (pz + off[2])[:, 0] + qo[2],
-                fb,
+                lambda r: fb[r],
             ))                                       # (C,)
             phi = d_l + gx * qo[0] + gy * qo[1] + gz * qo[2] - d_b[:, None]
             m = jnp.minimum(m, phi)
@@ -1424,14 +1425,24 @@ def _build_exact(
                 keeps = parts[0][0][:N]
                 kc_dev = parts[0][1][:N]
                 sqd_cen = parts[0][2][:N]
-            phase["cull_enqueue"] += time.perf_counter() - _pt0
+            _enq = time.perf_counter() - _pt0
+            phase["cull_enqueue"] += _enq
+            # "cull" = enqueue + sync (it used to mirror cull_sync exactly,
+            # a misleading duplicate in the phase table)
+            phase["cull"] += _enq
             culled.append(
                 (centers_g, cand_g, slots_g, pkc_g, keeps, kc_dev, sqd_cen)
             )
 
-        for centers_g, cand_g, slots_g, pkc_g, keeps, kc_dev, sqd_cen in (
-            culled
-        ):
+        for _gi in range(len(culled)):
+            centers_g, cand_g, slots_g, pkc_g, keeps, kc_dev, sqd_cen = (
+                culled[_gi]
+            )
+            # release the list's reference as each group is consumed —
+            # otherwise every group's (N, K) cull outputs stay live on
+            # device for the whole level (the `del keeps` below frees
+            # nothing while the tuple still holds them)
+            culled[_gi] = None
             _pt05 = time.perf_counter()
             kcounts = np.asarray(kc_dev)
             _pt1 = time.perf_counter()
@@ -1859,12 +1870,9 @@ def make_bucket_tables(
 
     try:
         if bucket_fields is None:
-            # id-only structures (field tiers over byte_budget, e.g. the
-            # depth-7/100k build's 1.18e9 slots): the query falls back to
-            # the CSR scan, which bounds via leaf centers — bucket_cmin
-            # is never read, and computing it here costs minutes of
-            # eager per-field element gathers over the multi-GB table
-            bucket_cmin = jnp.zeros((ids.shape[0],), jnp.float32)
+            # id-only (normally unreachable: the tier pre-check returns
+            # early); degenerate shape = no early-exit bound
+            bucket_cmin = jnp.zeros((1,), jnp.float32)
         else:
             bucket_cmin = _build_cmin(bucket_fields)
     except jax.errors.JaxRuntimeError:
@@ -1875,7 +1883,11 @@ def make_bucket_tables(
             import sys as _sys
             print("[buckets] HBM exhausted in cmin -> id-only buckets",
                   file=_sys.stderr, flush=True)
-        bucket_cmin = jnp.zeros((ids.shape[0],), jnp.float32)
+        # degenerate shape (1,) so the query KNOWS there is no early-exit
+        # bound (a full-length zero table would pass the availability
+        # check and silently disable the exit while still paying its
+        # per-iteration gather)
+        bucket_cmin = jnp.zeros((1,), jnp.float32)
 
     # (rows were slab-padded BEFORE field construction, see above)
     return ids, bucket_fields, bucket_cmin, jnp.asarray(bucket_row0)
@@ -2199,6 +2211,8 @@ class ExactOctreeSdf(SdfFunction):
                 getattr(self, "_scan_impl_auto", False)
                 and impl == "xla_window"
                 and Pp < 4 * int(self.leaf_offset.shape[0])
+                # the grouped scan's float id carrier caps leaves at 2^23
+                and int(self.leaf_offset.shape[0]) < (1 << 23)
             ):
                 # sparse batches (< ~4 points/leaf, e.g. random points
                 # over a depth-7 domain): fixed windows span many

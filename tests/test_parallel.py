@@ -175,3 +175,21 @@ def test_scaling_throughput_bounds():
         assert total >= 0.35, f"sharded query total collapsed to {total:.2%}"
         rtotal = ray_rates[n_dev] / ray_rates[1]
         assert rtotal >= 0.35, f"sharded ray total collapsed to {rtotal:.2%}"
+
+
+def test_sharded_exact_query_id_only_structure():
+    """Id-only structures (bucket tables over the byte budget) never
+    materialize bucket_ids; the sharded query's device-put must still
+    carry the CSR fallback's tri_flat (r5 review finding)."""
+    mesh_geo = make_icosphere(subdivisions=1, radius=0.35)
+    box = mesh_geo.bounding_box.add_margin(0.12)
+    ex = ExactOctreeSdf(mesh_geo, box, max_depth=3, start_depth=1,
+                        min_triangles_per_node=16, bucket_byte_budget=0)
+    assert ex.bucket_fields is None and ex.bucket_ids is None
+    mesh8 = parallel.default_mesh(jax.devices())
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(ex.box.min + 1e-4, ex.box.max - 1e-4,
+                      (1 << 12, 3)).astype(np.float32)
+    d_single = np.asarray(ex.get_distance(pts))
+    d_shard = np.asarray(parallel.sharded_distance(ex, pts, mesh8))
+    np.testing.assert_array_equal(d_single, d_shard)
